@@ -1,0 +1,235 @@
+"""Discrete HMM with pluggable exponential-family observation model
+(reference models/HMM.py).
+
+TPU-native redesign: the reference's sequential python loops over time
+(HMM.py:44-45, 78-98) become two ``lax.scan``s (forward filter, backward
+smoother with fused SEzz accumulation); the K x K logsumexp contraction in the
+body is batched over samples so each step is one fused VPU/MXU kernel.  A full
+VB-EM iteration (E-step + M-step + ELBO) is one jitted pure function over the
+(transition, initial, obs_dist) pytree.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..dists import Dirichlet
+from ..utils import math as um
+from ..utils.jaxutils import sum_leading
+
+
+def forward_backward(trans_logits, init_logits, obs_logits, ptemp=1.0):
+    """Batched HMM smoother (reference HMM.forward_backward_logits, :72-105).
+
+    trans_logits: batch + (K, K)   <log p(z'|z)>
+    init_logits:  batch + (K,)
+    obs_logits:   (T,) + sample + batch + (K,)
+    Returns (p, SEzz, SEz0, logZ):
+      p    (T,)+sample+batch+(K,)  smoothed posteriors (ptemp-sharpened)
+      SEzz sample+batch+(K,K)      summed two-slice stats
+      SEz0 sample+batch+(K,)
+      logZ sample+batch
+    """
+    fw0 = um.stable_logsumexp(
+        init_logits[..., :, None] + trans_logits + obs_logits[0][..., None, :], -2
+    )
+
+    def fwd_step(fw_prev, obs_t):
+        fw = um.stable_logsumexp(
+            fw_prev[..., :, None] + trans_logits + obs_t[..., None, :], -2
+        )
+        return fw, fw
+
+    _, fw_rest = jax.lax.scan(fwd_step, fw0, obs_logits[1:])
+    fw_logits = jnp.concatenate([fw0[None], fw_rest], 0)
+
+    logZ = um.stable_logsumexp(fw_logits[-1], -1, keepdims=True)
+    fw_logits = fw_logits - logZ
+    logZ = logZ[..., 0]
+
+    def bwd_step(carry, fw_t):
+        sm_next, SEzz = carry
+        temp = fw_t[..., :, None] + trans_logits
+        xi = (temp - um.stable_logsumexp(temp, -2, keepdims=True)) + sm_next[
+            ..., None, :
+        ]
+        sm_t = um.stable_logsumexp(xi, -1)
+        SEzz = SEzz + jnp.exp(xi - um.stable_logsumexp(xi, (-1, -2), keepdims=True))
+        return (sm_t, SEzz), sm_t
+
+    K = trans_logits.shape[-1]
+    SEzz0 = jnp.zeros(fw_logits.shape[1:] + (K,), fw_logits.dtype)
+    (_, SEzz), sm_rest = jax.lax.scan(
+        bwd_step, (fw_logits[-1], SEzz0), fw_logits[:-1], reverse=True
+    )
+    smoothed = jnp.concatenate([sm_rest, fw_logits[-1:]], 0)
+
+    # initial step (t = -1 -> 0), reference HMM.py:92-98
+    temp = init_logits[..., :, None] + trans_logits
+    xi = (temp - um.stable_logsumexp(temp, -2, keepdims=True)) + smoothed[0][
+        ..., None, :
+    ]
+    SEz0 = um.stable_logsumexp(xi, -1)
+    SEz0 = jnp.exp(SEz0 - um.stable_logsumexp(SEz0, -1, keepdims=True))
+    SEzz = SEzz + jnp.exp(xi - um.stable_logsumexp(xi, (-1, -2), keepdims=True))
+
+    p = jnp.exp((smoothed - smoothed.max(-1, keepdims=True)) / ptemp)
+    p = p / p.sum(-1, keepdims=True)
+    return p, SEzz, SEz0, logZ
+
+
+class HMM:
+    """Stateful shell; all heavy work happens in jitted pure functions."""
+
+    def __init__(self, obs_dist, transition_mask=None, ptemp=1.0, key=None):
+        from ..utils.rng import key_or_next
+        import jax.random as jr
+
+        self.obs_dist = obs_dist
+        self.event_dim = 1
+        self.dim = obs_dist.batch_shape[-1]
+        self.event_shape = tuple(obs_dist.batch_shape[-1:])
+        self.batch_shape = tuple(obs_dist.batch_shape[:-1])
+        self.batch_dim = len(self.batch_shape)
+        self.transition_mask = transition_mask
+
+        alpha = jnp.eye(self.dim) + 0.5  # sticky prior (reference HMM.py:18-22)
+        if transition_mask is not None:
+            alpha = alpha * transition_mask
+        key = key_or_next(key)
+        self.transition = Dirichlet.create(
+            self.event_shape,
+            self.batch_shape + self.event_shape,
+            prior_parms={"alpha": alpha},
+            key=key,
+        )
+        self.initial = Dirichlet.create(
+            self.event_shape, self.batch_shape, key=jr.fold_in(key, 1)
+        )
+        self.p = None
+        self.ptemp = ptemp
+        self.logZ = jnp.asarray(-jnp.inf)
+        self.ELBO_last = jnp.asarray(-jnp.inf)
+        self.ELBO_save = []
+        self._jit_cache = {}
+
+    # -- pure observation-model hooks (overridden by ARHMM variants) -------------
+    def _obs_logits(self, obs_dist, X):
+        return obs_dist.Elog_like(jnp.expand_dims(X, -1 - obs_dist.event_dim))
+
+    def _obs_update(self, obs_dist, X, p, lr, beta):
+        return obs_dist.raw_update(
+            jnp.expand_dims(X, -1 - obs_dist.event_dim), p=p, lr=lr, beta=beta
+        )
+
+    def _obs_KL(self, obs_dist):
+        return obs_dist.KLqprior().sum(-1)
+
+    # -- pure E-step ----------------------------------------------------------------
+    def _estep(self, transition, initial, obs_dist, X):
+        logits = self._obs_logits(obs_dist, X)
+        p, SEzz, SEz0, logZ = forward_backward(
+            transition.loggeomean(), initial.loggeomean(), logits, self.ptemp
+        )
+        NA = p.sum(0)
+        keep = self.batch_dim + self.event_dim
+        NA = sum_leading(NA, keep)
+        SEzz = sum_leading(SEzz, keep + 1)
+        SEz0 = sum_leading(SEz0, keep)
+        logZ = sum_leading(logZ, self.batch_dim)
+        return p, SEzz, SEz0, NA, logZ
+
+    def _vb_step(self, transition, initial, obs_dist, X, lr, beta):
+        p, SEzz, SEz0, NA, logZ = self._estep(transition, initial, obs_dist, X)
+        transition = transition.ss_update(SEzz, lr=lr, beta=beta)
+        initial = initial.ss_update(SEz0, lr=lr, beta=beta)
+        obs_dist = self._obs_update(obs_dist, X, p, lr, beta)
+        # reference HMM.update computes ELBO with post-M-step KL and the
+        # E-step logZ (HMM.py:141-152)
+        KL = (
+            self._obs_KL(obs_dist)
+            + transition.KLqprior().sum(-1)
+            + initial.KLqprior()
+        )
+        ELBO = logZ - KL
+        return transition, initial, obs_dist, p, NA, logZ, ELBO
+
+    def _jitted(self, name, fn, **jitkw):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn, **jitkw)
+        return self._jit_cache[name]
+
+    # -- reference-API methods ---------------------------------------------------
+    def obs_logits(self, X):
+        return self._obs_logits(self.obs_dist, X)
+
+    def update_states(self, X, T=None):
+        fn = self._jitted("estep", self._estep)
+        self.p, SEzz, SEz0, NA, logZ = fn(
+            self.transition, self.initial, self.obs_dist, X
+        )
+        self.NA = NA
+        self.logZ = logZ
+        return SEzz, SEz0, NA, logZ
+
+    def update_markov_parms(self, SEzz, SEz0, lr=1.0, beta=None):
+        self.transition = self.transition.ss_update(SEzz, lr=lr, beta=beta)
+        self.initial = self.initial.ss_update(SEz0, lr=lr, beta=beta)
+
+    def update_obs_parms(self, X, lr=1.0, beta=None):
+        self.obs_dist = self._obs_update(self.obs_dist, X, self.p, lr, beta)
+
+    def update(self, X, iters=1, T=None, lr=1.0, beta=None, verbose=False):
+        fn = self._jitted("vb_step", self._vb_step, static_argnames=("beta",))
+        for _ in range(iters):
+            (
+                self.transition,
+                self.initial,
+                self.obs_dist,
+                self.p,
+                self.NA,
+                self.logZ,
+                ELBO,
+            ) = fn(self.transition, self.initial, self.obs_dist, X, lr, beta)
+            if verbose:
+                print(
+                    "Percent Change in ELBO = ",
+                    (ELBO - self.ELBO_last) / jnp.abs(self.ELBO_last) * 100,
+                )
+            self.ELBO_last = ELBO
+            self.ELBO_save.append(float(jnp.sum(ELBO)))
+
+    def KLqprior(self):
+        return (
+            self._obs_KL(self.obs_dist)
+            + self.transition.KLqprior().sum(-1)
+            + self.initial.KLqprior()
+        )
+
+    def ELBO(self):
+        return self.logZ - self.KLqprior()
+
+    def assignment_pr(self):
+        return self.p
+
+    def assignment(self):
+        return self.p.argmax(-1)
+
+    # -- expectation averaging (reference HMM.py:160-178) --------------------------
+    def average(self, A, keepdim=False):
+        return (A * self.p).sum(-1, keepdims=keepdim)
+
+    def event_average(self, A, keepdim=False):
+        de = self.obs_dist.event_dim
+        out = (A * self.p.reshape(self.p.shape + (1,) * de)).sum(
+            -de - 1, keepdims=keepdim
+        )
+        for _ in range(self.event_dim - 1):
+            out = out.sum(-de - 1, keepdims=keepdim)
+        return out
+
+    def event_average_f(self, fname, keepdim=False):
+        return self.event_average(getattr(self.obs_dist, fname)(), keepdim)
+
+    def average_f(self, fname, keepdim=False):
+        return self.average(getattr(self.obs_dist, fname)(), keepdim)

@@ -1,0 +1,87 @@
+"""Mixture of linear dynamical systems (reference
+models/MixtureofLinearDynamicalSystems.py): K LDSs batched over a system axis
++ Dirichlet responsibilities from per-system logZ."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..dists import Dirichlet
+from ..utils.jaxutils import sum_leading
+from .lds import LinearDynamicalSystems
+
+
+class MixtureofLinearDynamicalSystems:
+    def __init__(self, num_systems, obs_shape, hidden_dim, control_dim, regression_dim, key=None):
+        from ..utils.rng import key_or_next
+        import jax.random as jr
+
+        key = key_or_next(key)
+        self.num_systems = num_systems
+        self.lds = LinearDynamicalSystems(
+            obs_shape,
+            hidden_dim,
+            control_dim,
+            regression_dim,
+            latent_noise="independent",
+            batch_shape=(num_systems,),
+            key=key,
+        )
+        self.lds.expand_to_batch = True
+        self.pi = Dirichlet.create((num_systems,), key=jr.fold_in(key, 1))
+        self.ELBO_save = []
+        self._jit = None
+
+    def _vb_step(self, x0, A, obs_model, pi, y, u, r, lr):
+        lds = self.lds
+        px, ss = lds._update_latents(x0, A, obs_model, y, u, r)
+        log_p = ss["logZ"] + pi.loggeomean()
+        shift = jax.lax.stop_gradient(log_p.max(-1, keepdims=True))
+        log_p = log_p - shift
+        logZ = (jax.scipy.special.logsumexp(log_p, -1, keepdims=True) + shift)[..., 0]
+        p = jnp.exp(log_p)
+        p = p / p.sum(-1, keepdims=True)
+        NA = sum_leading(p, 1)
+        KL = pi.KLqprior() + lds._KL(x0, A, obs_model).sum(-1)
+        ELBO = logZ.sum() - KL
+        pi = pi.ss_update(NA, lr=lr)
+        x0, A, stats = lds._ss_update(x0, A, ss, p=p, lr=lr)
+        obs_model = obs_model.ss_update(
+            stats["SE_xr_xr"], stats["SE_y_xr"], stats["SE_y_y"], stats["T"], lr
+        )
+        return x0, A, obs_model, pi, p, logZ, ELBO
+
+    def update(self, y, u=None, r=None, iters=1, lr=1.0, verbose=False):
+        y, u, r = self.lds.reshape_inputs(y, u, r)
+        if self._jit is None:
+            self._jit = jax.jit(self._vb_step)
+        ELBO_last = -jnp.inf
+        for _ in range(iters):
+            (
+                self.lds.x0,
+                self.lds.A,
+                self.lds.obs_model,
+                self.pi,
+                self.p,
+                self.logZ,
+                ELBO,
+            ) = self._jit(
+                self.lds.x0, self.lds.A, self.lds.obs_model, self.pi, y, u, r, lr
+            )
+            if verbose:
+                print(
+                    "Percent Change in ELBO = %f"
+                    % float((ELBO - ELBO_last) / jnp.abs(ELBO_last) * 100)
+                )
+            ELBO_last = ELBO
+            self.ELBO_save.append(float(ELBO))
+        self.NA = sum_leading(self.p, 1)
+
+    def KLqprior(self):
+        return self.pi.KLqprior() + self.lds.KLqprior().sum(-1)
+
+    def assignment_pr(self):
+        return self.p
+
+    def assignment(self):
+        return self.p.argmax(-1)

@@ -1,0 +1,266 @@
+"""ELBO-trajectory parity harness vs. the torch reference.
+
+Run in a subprocess with JAX_ENABLE_X64=1 (and torch float64).  Constructs the
+reference model, copies its (randomly initialized) posteriors into the JAX
+model, runs N VB iterations in both, and prints the max relative ELBO
+deviation as ``MAXDEV <float>``.
+
+Usage: python tests/parity/run_parity.py {gmm|hmm|lds|mnw}
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+sys.path.insert(0, "/root/reference")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+import torch
+
+torch.set_default_dtype(torch.float64)
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+from pyvbmp_tpu.utils.jaxutils import replace
+
+
+def t2j(t):
+    return jnp.asarray(np.asarray(t.detach()))
+
+
+def copy_dirichlet(jd, td):
+    return replace(jd, alpha_0=t2j(td.alpha_0), alpha=t2j(td.alpha))
+
+
+def copy_wishart(jw, tw):
+    return replace(
+        jw,
+        invU_0=t2j(tw.invU_0),
+        nu_0=t2j(tw.nu_0),
+        logdet_invU_0=t2j(tw.logdet_invU_0),
+        invU=t2j(tw.invU),
+        U=t2j(tw.U),
+        nu=t2j(tw.nu),
+        logdet_invU=t2j(tw.logdet_invU),
+    )
+
+
+def copy_niw(jn, tn):
+    return replace(
+        jn,
+        lambda_mu_0=t2j(tn.lambda_mu_0),
+        lambda_mu=t2j(tn.lambda_mu),
+        mu_0=t2j(tn.mu_0),
+        mu=t2j(tn.mu),
+        invU=copy_wishart(jn.invU, tn.invU),
+    )
+
+
+def copy_gamma(jg, tg):
+    return replace(
+        jg,
+        alpha_0=t2j(tg.alpha_0),
+        beta_0=t2j(tg.beta_0),
+        alpha=t2j(tg.alpha),
+        beta=t2j(tg.beta),
+    )
+
+
+def copy_diagonal_wishart(jw, tw):
+    return replace(jw, gamma=copy_gamma(jw.gamma, tw.gamma))
+
+
+def copy_mnw(jm, tm):
+    new = replace(
+        jm,
+        mu_0=t2j(tm.mu_0),
+        mu=t2j(tm.mu),
+        invV_0=t2j(tm.invV_0),
+        invV=t2j(tm.invV),
+        V=t2j(tm.V),
+        logdetinvV=t2j(tm.logdetinvV),
+        logdetinvV_0=t2j(tm.logdetinvV_0),
+        invU=copy_wishart(jm.invU, tm.invU),
+    )
+    return new
+
+
+def copy_mng(jm, tm):
+    new = replace(
+        jm,
+        mu_0=t2j(tm.mu_0),
+        mu=t2j(tm.mu),
+        invV_0=t2j(tm.invV_0),
+        invV=t2j(tm.invV),
+        V=t2j(tm.V),
+        logdetinvV=t2j(tm.logdetinvV),
+        logdetinvV_0=t2j(tm.logdetinvV_0),
+        invU=copy_diagonal_wishart(jm.invU, tm.invU),
+    )
+    return new
+
+
+def report(name, ref_elbos, jax_elbos):
+    ref = np.asarray(ref_elbos, np.float64)
+    ours = np.asarray(jax_elbos, np.float64)
+    dev = np.abs(ref - ours) / np.maximum(np.abs(ref), 1.0)
+    print("ref  :", ref)
+    print("ours :", ours)
+    print("MAXDEV", dev.max())
+
+
+def parity_gmm(iters=10):
+    from models import GaussianMixtureModel as TGMM
+    from pyvbmp_tpu.models import GaussianMixtureModel as JGMM
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    X = np.concatenate(
+        [rs.randn(100, 2) + np.array(m) for m in [(-4, 0), (4, 0), (0, 4)]], 0
+    )
+    tX = torch.tensor(X)
+    jX = jnp.asarray(X)
+
+    tg = TGMM(6, 2)
+    jg = JGMM(6, 2)
+    jg.pi = copy_dirichlet(jg.pi, tg.pi)
+    jg.dist = copy_niw(jg.dist, tg.dist)
+
+    t_elbos, j_elbos = [], []
+    for _ in range(iters):
+        tg.update(tX, iters=1, lr=1.0)
+        t_elbos.append(float(tg.ELBO().sum()))
+        jg.update(jX, iters=1, lr=1.0)
+        j_elbos.append(float(jg.ELBO_last.sum()))
+    report("gmm", t_elbos, j_elbos)
+
+
+def parity_hmm(iters=8):
+    import dists as tdists
+    from models import HMM as THMM
+    from pyvbmp_tpu.dists import NormalInverseWishart as JNIW
+    from pyvbmp_tpu.models import HMM as JHMM
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    K, T, B, d = 4, 60, 5, 3
+    trans = 0.9 * np.eye(K) + 0.1 / K
+    mus = rs.randn(K, d) * 4
+    z = np.zeros((T, B), int)
+    for t in range(1, T):
+        for b in range(B):
+            z[t, b] = rs.choice(K, p=trans[z[t - 1, b]])
+    X = mus[z] + 0.3 * rs.randn(T, B, d)
+
+    tobs = tdists.NormalInverseWishart(event_shape=(d,), batch_shape=(K,))
+    th = THMM(tobs)
+    jobs = JNIW.create((d,), batch_shape=(K,))
+    jh = JHMM(jobs)
+    jh.obs_dist = copy_niw(jh.obs_dist, th.obs_dist)
+    jh.transition = copy_dirichlet(jh.transition, th.transition)
+    jh.initial = copy_dirichlet(jh.initial, th.initial)
+
+    tX = torch.tensor(X)
+    jX = jnp.asarray(X)
+    t_elbos, j_elbos = [], []
+    for _ in range(iters):
+        th.update(tX, iters=1)
+        t_elbos.append(float(th.ELBO().sum()))
+        jh.update(jX, iters=1)
+        j_elbos.append(float(jnp.sum(jh.ELBO_last)))
+    report("hmm", t_elbos, j_elbos)
+
+
+def parity_lds(iters=8):
+    from models import LinearDynamicalSystems as TLDS
+    from pyvbmp_tpu.models import LinearDynamicalSystems as JLDS
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(1)
+    T, B, h, o = 40, 3, 2, 4
+    A = (
+        np.array(
+            [
+                [np.cos(0.2), -np.sin(0.2)],
+                [np.sin(0.2), np.cos(0.2)],
+            ]
+        )
+        * 0.98
+    )
+    C = rs.randn(o, h)
+    x = rs.randn(B, h)
+    ys = []
+    for t in range(T):
+        x = x @ A.T + 0.05 * rs.randn(B, h)
+        ys.append(x @ C.T + 0.1 * rs.randn(B, o))
+    y = np.stack(ys)
+
+    tl = TLDS(obs_shape=(o,), hidden_dim=h)
+    jl = JLDS(obs_shape=(o,), hidden_dim=h)
+    jl.x0 = copy_niw(jl.x0, tl.x0)
+    jl.A = copy_mng(jl.A, tl.A)
+    jl.obs_model = copy_mnw(jl.obs_model, tl.obs_model)
+
+    ty = torch.tensor(y)
+    jy = jnp.asarray(y)
+    t_elbos, j_elbos = [], []
+    for _ in range(iters):
+        tl.update(ty, iters=1, verbose=True)
+        t_elbos.append(float(tl.ELBO().sum()))
+        jl.update(jy, iters=1)
+        j_elbos.append(float(jl.ELBO_save[-1]))
+    report("lds", t_elbos, j_elbos)
+
+
+def parity_mnw(iters=5):
+    """Single-transform parity: identical stats through ss_update."""
+    import transforms as ttransforms
+    from pyvbmp_tpu.transforms import MatrixNormalWishart as JMNW
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(2)
+    n, p, ns = 3, 4, 200
+    W = rs.randn(n, p)
+    X = rs.randn(ns, p)
+    Y = X @ W.T + 0.1 * rs.randn(ns, n)
+
+    tm = ttransforms.MatrixNormalWishart(event_shape=(n, p), pad_X=True)
+    jm = JMNW.create((n, p), pad_X=True)
+    jm = copy_mnw(jm, tm)
+
+    tX = torch.tensor(X).unsqueeze(-1)
+    tY = torch.tensor(Y).unsqueeze(-1)
+    jX = jnp.asarray(X)[..., None]
+    jY = jnp.asarray(Y)[..., None]
+    devs = []
+    for _ in range(iters):
+        tm.raw_update(tX, tY)
+        jm = jm.raw_update(jX, jY)
+        devs.append(
+            max(
+                np.abs(np.asarray(jm.mu) - tm.mu.numpy()).max(),
+                np.abs(np.asarray(jm.invV) - tm.invV.numpy()).max()
+                / max(1.0, np.abs(tm.invV.numpy()).max()),
+                np.abs(np.asarray(jm.invU.invU) - tm.invU.invU.numpy()).max()
+                / max(1.0, np.abs(tm.invU.invU.numpy()).max()),
+            )
+        )
+        tELL = tm.Elog_like(tX, tY).sum().item()
+        jELL = float(jm.Elog_like(jX, jY).sum())
+        devs.append(abs(tELL - jELL) / max(1.0, abs(tELL)))
+        tKL = tm.KLqprior().sum().item()
+        jKL = float(jm.KLqprior().sum())
+        devs.append(abs(tKL - jKL) / max(1.0, abs(tKL)))
+    print("MAXDEV", max(devs))
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "gmm"
+    {"gmm": parity_gmm, "hmm": parity_hmm, "lds": parity_lds, "mnw": parity_mnw}[
+        which
+    ]()
