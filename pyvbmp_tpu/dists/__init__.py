@@ -12,6 +12,10 @@ from .mvn_ard import MVN_ard
 from .delta import Delta
 from .mixture import Mixture
 from .tensor_normal_wishart import TensorNormalWishart
+from .niw_vector_format import (
+    NormalInverseWishart_vector_format,
+    NormalInverseWishart_vector_format_invSigma,
+)
 
 __all__ = [
     "Dirichlet",
@@ -30,4 +34,6 @@ __all__ = [
     "Delta",
     "Mixture",
     "TensorNormalWishart",
+    "NormalInverseWishart_vector_format",
+    "NormalInverseWishart_vector_format_invSigma",
 ]

@@ -77,9 +77,10 @@ class Dirichlet:
         return self.alpha / self.alpha.sum(self._edims(), keepdims=True)
 
     def loggeomean(self):
-        return digamma(self.alpha) - digamma(
-            self.alpha.sum(self._edims(), keepdims=True)
-        )
+        # jax digamma(0) is NaN where torch gives -inf; masked transitions rely
+        # on -inf logits, so emit it explicitly for zero alpha.
+        dg = jnp.where(self.alpha > 0, digamma(self.alpha), -jnp.inf)
+        return dg - digamma(self.alpha.sum(self._edims(), keepdims=True))
 
     ElogX = loggeomean
 

@@ -21,3 +21,14 @@ __all__ += [
     "LinearDynamicalSystems",
     "MixtureofLinearDynamicalSystems",
 ]
+from .tensor_hmm import Tensor_HMM, Factorial_HMM, HHMM
+from .dhmm import dHMM
+from .dmbd import DynamicMarkovBlanketDiscovery
+
+__all__ += [
+    "Tensor_HMM",
+    "Factorial_HMM",
+    "HHMM",
+    "dHMM",
+    "DynamicMarkovBlanketDiscovery",
+]

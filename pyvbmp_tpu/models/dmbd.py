@@ -1,0 +1,494 @@
+"""Dynamic Markov Blanket Discovery — the flagship model
+(reference models/DynamicMarkovBlanketDiscovery.py).
+
+An LDS whose observation model is an ARHMM over "roles"; the latent x is
+partitioned into (environment s, boundary b, internal z) blocks per object,
+enforced by structural masks on the dynamics (A_mask), the emission (B_mask)
+and the role transitions (role_mask).  Coordinate ascent interleaves the
+discrete role smoother (HMM scan) and the continuous Kalman smoother
+(LDS scans); one full sweep is a single jitted function.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..dists import NormalInverseWishart
+from ..dists.mvn_vector_format import MultivariateNormal_vector_format as MVN_vf
+from ..transforms import MatrixNormalGamma
+from ..utils.jaxutils import replace, sum_leading
+from ..utils.linalg import psd_inv_and_logdet
+from .arhmm import ARHMM_prXRY
+from .lds import LinearDynamicalSystems
+
+
+def _block(A, B, C, D):
+    return np.block([[A, B], [C, D]])
+
+
+def one_object_mask(hidden_dims, role_dims, control_dim, obs_dim, regression_dim):
+    """Standard masks for a single object (reference DMBD.one_object_mask:277-342)."""
+    hd, rd = hidden_dims, role_dims
+    As = np.concatenate(
+        [np.ones((hd[0], hd[0] + hd[1])), np.zeros((hd[0], hd[2]))], -1
+    )
+    Ab = np.ones((hd[1], hd[0] + hd[1] + hd[2]))
+    Az = np.concatenate(
+        [np.zeros((hd[2], hd[0])), np.ones((hd[2], hd[1] + hd[2]))], -1
+    )
+    if len(hd) == 4:
+        As = np.concatenate([As, np.zeros((hd[0], hd[3]))], -1)
+        Ab = np.concatenate([Ab, np.zeros((hd[1], hd[3]))], -1)
+        Az = np.concatenate([Az, np.zeros((hd[2], hd[3]))], -1)
+        Ag = np.concatenate(
+            [np.zeros((hd[3], sum(hd[:-1]))), np.ones((hd[3], hd[3]))], -1
+        )
+        A_mask = np.concatenate([As, Ab, Az, Ag], -2)
+    else:
+        A_mask = np.concatenate([As, Ab, Az], -2)
+    A_mask = np.concatenate(
+        [A_mask, np.ones(A_mask.shape[:-1] + (control_dim,))], -1
+    ) > 0
+
+    def emission_rows(role_n, active):
+        out = []
+        for j, h in enumerate(hd[:3]):
+            out.append(
+                np.ones((role_n, obs_dim, h))
+                if j in active
+                else np.zeros((role_n, obs_dim, h))
+            )
+        return np.concatenate(out, -1)
+
+    Bs = emission_rows(rd[0], {0})
+    Bb = emission_rows(rd[1], {1})
+    Bz = emission_rows(rd[2], {2})
+    if len(hd) == 4:
+        Bs = np.concatenate([Bs, np.ones((rd[0], obs_dim, hd[3]))], -1)
+        Bb = np.concatenate([Bb, np.ones((rd[1], obs_dim, hd[3]))], -1)
+        Bz = np.concatenate([Bz, np.ones((rd[2], obs_dim, hd[3]))], -1)
+    B_mask = np.concatenate([Bs, Bb, Bz], -3)
+    B_mask = np.concatenate(
+        [B_mask, np.ones(B_mask.shape[:-1] + (regression_dim,))], -1
+    ) > 0
+
+    role_dim = sum(rd[:3])
+    rs = np.concatenate(
+        [np.ones((rd[0], rd[0] + rd[1])), np.zeros((rd[0], rd[2]))], -1
+    )
+    rb = np.ones((rd[1], role_dim))
+    rz = np.concatenate(
+        [np.zeros((rd[2], rd[0])), np.ones((rd[2], rd[1] + rd[2]))], -1
+    )
+    role_mask = np.concatenate([rs, rb, rz], -2)
+    return A_mask, B_mask, role_mask
+
+
+def n_object_mask(n, hidden_dims, role_dims, control_dim, obs_dim, regression_dim):
+    """Masks for n objects sharing one environment
+    (reference DMBD.n_object_mask:223-275)."""
+    hd, rd = hidden_dims, role_dims
+    bz = np.ones((hd[1] + hd[2], hd[1] + hd[2]))
+    notbz = np.zeros_like(bz)
+    bz_mask = _block(bz, notbz, notbz, bz)
+    sb = np.ones((hd[0], hd[1]))
+    sz = np.zeros((hd[0], hd[2]))
+    sbz_mask = np.concatenate([sb, sz], -1)
+    for _ in range(n - 2):
+        bz_mask = _block(
+            bz_mask,
+            np.zeros((bz_mask.shape[0], bz.shape[0])),
+            np.zeros((bz.shape[0], bz_mask.shape[0])),
+            bz,
+        )
+    for _ in range(n - 1):
+        sbz_mask = np.concatenate([sbz_mask, sb, sz], -1)
+    A_mask = _block(
+        np.ones((hd[0], hd[0])), sbz_mask, sbz_mask.T, bz_mask
+    )
+    A_mask = np.concatenate([A_mask, np.ones(A_mask.shape[:-1] + (control_dim,))], -1)
+
+    Bb = np.concatenate([np.ones((rd[1], hd[1])), np.zeros((rd[1], hd[2]))], -1)
+    Bz = np.concatenate([np.zeros((rd[2], hd[1])), np.ones((rd[2], hd[2]))], -1)
+    Bbz = np.concatenate([Bb, Bz], -2)
+    B_mask = np.ones((rd[0], hd[0]))
+    for _ in range(n):
+        B_mask = _block(
+            B_mask,
+            np.zeros((B_mask.shape[0], Bbz.shape[1])),
+            np.zeros((Bbz.shape[0], B_mask.shape[1])),
+            Bbz,
+        )
+    B_mask = np.broadcast_to(
+        B_mask[:, None, :], (B_mask.shape[0], obs_dim, B_mask.shape[1])
+    )
+    B_mask = np.concatenate(
+        [B_mask, np.ones(B_mask.shape[:-1] + (regression_dim,))], -1
+    )
+
+    bz = np.ones((rd[1] + rd[2], rd[1] + rd[2]))
+    notbz = np.zeros_like(bz)
+    bz_mask = _block(bz, notbz, notbz, bz)
+    sb = np.ones((rd[0], rd[1]))
+    sz = np.zeros((rd[0], rd[2]))
+    sbz_mask = np.concatenate([sb, sz], -1)
+    for _ in range(n - 2):
+        bz_mask = _block(
+            bz_mask,
+            np.zeros((bz_mask.shape[0], bz.shape[0])),
+            np.zeros((bz.shape[0], bz_mask.shape[0])),
+            bz,
+        )
+    for _ in range(n - 1):
+        sbz_mask = np.concatenate([sbz_mask, sb, sz], -1)
+    role_mask = _block(
+        np.ones((rd[0], rd[0])), sbz_mask, sbz_mask.T, bz_mask
+    )
+    return A_mask > 0, B_mask > 0, role_mask > 0
+
+
+class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
+    def __init__(
+        self,
+        obs_shape,
+        role_dims,
+        hidden_dims,
+        control_dim=0,
+        regression_dim=0,
+        batch_shape=(),
+        number_of_objects=1,
+        unique_obs=False,
+        key=None,
+    ):
+        from ..utils.rng import key_or_next
+        import jax.random as jr
+
+        key = key_or_next(key)
+        control_dim = control_dim + 1
+        regression_dim = regression_dim + 1
+        obs_dim = obs_shape[-1]
+        n_obs = obs_shape[0]
+
+        if number_of_objects > 1:
+            hidden_dim = hidden_dims[0] + number_of_objects * (
+                hidden_dims[1] + hidden_dims[2]
+            )
+            role_dim = role_dims[0] + number_of_objects * (role_dims[1] + role_dims[2])
+            A_mask, B_mask, role_mask = n_object_mask(
+                number_of_objects, hidden_dims, role_dims, control_dim, obs_dim,
+                regression_dim,
+            )
+        else:
+            hidden_dim = sum(hidden_dims)
+            role_dim = sum(role_dims)
+            A_mask, B_mask, role_mask = one_object_mask(
+                hidden_dims, role_dims, control_dim, obs_dim, regression_dim
+            )
+
+        self.number_of_objects = number_of_objects
+        self.unique_obs = unique_obs
+        self.obs_shape = tuple(obs_shape)
+        self.obs_dim = obs_dim
+        self.event_dim = len(obs_shape)
+        self.n_obs = n_obs
+        self.role_dims = role_dims
+        self.role_dim = role_dim
+        self.hidden_dims = hidden_dims
+        self.hidden_dim = hidden_dim
+        self.control_dim = control_dim
+        self.regression_dim = regression_dim
+        self.batch_shape = tuple(batch_shape)
+        self.batch_dim = len(batch_shape)
+        self.expand_to_batch = True
+        self.offset = (1,) * (len(obs_shape) - 1)
+        self.logZ = jnp.asarray(-jnp.inf)
+        self.ELBO_save = []
+        self.iters = 0
+        self.px = None
+        self.ELBO_last = -jnp.inf
+        self.cross_cov_compat = True
+        self.latent_noise = "independent"
+        self._jit_cache = {}
+
+        self.x0 = NormalInverseWishart.create(
+            self.offset + (hidden_dim,), tuple(batch_shape), key=key
+        )
+        self.x0 = replace(self.x0, mu=jnp.zeros_like(self.x0.mu))
+
+        self.A = MatrixNormalGamma.create(
+            self.offset + (hidden_dim, hidden_dim + control_dim),
+            tuple(batch_shape),
+            mask=A_mask,
+            pad_X=False,
+            uniform_precision=False,
+            key=jr.fold_in(key, 1),
+        )
+
+        if unique_obs:
+            self.obs_model = ARHMM_prXRY(
+                role_dim,
+                obs_dim,
+                hidden_dim,
+                regression_dim,
+                batch_shape=tuple(batch_shape) + (n_obs,),
+                X_mask=jnp.asarray(B_mask)[None].sum(-2, keepdims=True) > 0,
+                pad_X=False,
+                key=jr.fold_in(key, 2),
+            )
+        else:
+            self.obs_model = ARHMM_prXRY(
+                role_dim,
+                obs_dim,
+                hidden_dim,
+                regression_dim,
+                batch_shape=tuple(batch_shape),
+                X_mask=jnp.asarray(B_mask).sum(-2, keepdims=True) > 0,
+                transition_mask=jnp.asarray(role_mask),
+                pad_X=False,
+                key=jr.fold_in(key, 2),
+            )
+
+        # B-prior tweak: scale invU_0 down by role_dim^2 (reference DMBD:81-84)
+        B = self.obs_model.obs_dist
+        invU_0 = B.invU.invU_0 / float(role_dim**2)
+        U, logdet = psd_inv_and_logdet(invU_0)
+        self.obs_model.obs_dist = replace(
+            B,
+            invU=replace(
+                B.invU,
+                invU_0=invU_0,
+                invU=invU_0,
+                U=U,
+                logdet_invU_0=logdet,
+                logdet_invU=logdet,
+            ),
+        )
+        # NOTE: the reference also sets ``B.ptemp = 20.0`` (DMBD:85), but the
+        # HMM smoother reads the temperature from the obs_model (=1.0), so the
+        # attribute is dead; documented rather than reproduced.
+
+    # -------------------------------------------------------- role E/M pieces
+    def _px4r(self, px, r):
+        target_shape = r.shape[:-2]
+        h = self.hidden_dim
+        return MVN_vf(
+            mu=jnp.broadcast_to(px.mu, target_shape + (h, 1)),
+            Sigma=jnp.broadcast_to(px.Sigma, target_shape + (h, h)),
+            invSigmamu=jnp.broadcast_to(px.invSigmamu, target_shape + (h, 1)),
+            invSigma=jnp.broadcast_to(px.invSigma, target_shape + (h, h)),
+        ).unsqueeze(-self.obs_model.event_dim - 2)
+
+    def _init_px(self, r):
+        h = self.hidden_dim
+        eye = jnp.broadcast_to(jnp.eye(h), r.shape[:-3] + (1, h, h))
+        zer = jnp.zeros(r.shape[:-3] + (1, h, 1))
+        return MVN_vf(mu=zer, Sigma=eye, invSigmamu=zer, invSigma=eye)
+
+    def _role_estep(self, transition, initial, B, px, y, r):
+        """obs_model.update_states on (px4r, r, y) (reference DMBD:113-132)."""
+        om = self.obs_model
+        unsdim = om.event_dim + 2
+        px4r = self._px4r(px, r)
+        XRY = (px4r, jnp.expand_dims(r, -unsdim), jnp.expand_dims(y, -unsdim))
+        logits = om._obs_logits(B, XRY)
+        from .hmm import forward_backward
+
+        p, SEzz, SEz0, logZ = forward_backward(
+            transition.loggeomean(), initial.loggeomean(), logits, om.ptemp
+        )
+        keep = om.batch_dim + om.event_dim
+        NA = sum_leading(p.sum(0), keep)
+        SEzz = sum_leading(SEzz, keep + 1)
+        SEz0 = sum_leading(SEz0, keep)
+        return p, SEzz, SEz0, NA
+
+    def log_likelihood_function_role(self, B, p, Y, R):
+        """Role-averaged observation messages for the Kalman E-step
+        (reference DMBD.log_likelihood_function:98-104)."""
+        om = self.obs_model
+        unsdim = om.event_dim + 2
+        invSigma, invSigmamu, Residual = _arhmm_elog_like_X(
+            om, B, (jnp.expand_dims(Y, -unsdim), jnp.expand_dims(R, -unsdim)), p
+        )
+        return (
+            invSigma.sum(-unsdim, keepdims=True),
+            invSigmamu.sum(-unsdim, keepdims=True),
+            Residual.sum(-unsdim + 2, keepdims=True),
+        )
+
+    # ------------------------------------------------------------- full sweep
+    def _dmbd_step(
+        self, x0, A, transition, initial, B, px_tuple, y, u, r, lr, latent_iters
+    ):
+        om = self.obs_model
+        px = MVN_vf(*px_tuple) if px_tuple is not None else None
+
+        def latents_given_p(x0, A, B, p, y, u, r):
+            parms = self._latent_parms(A)
+            like = self.log_likelihood_function_role(B, p, y, r)
+            px, Sigma_cross, Sigma_x0_cross, Sigma_x0_x0, mu_x0, logZ = (
+                self.forward_backward_loop(parms, x0, like, u)
+            )
+            ss = self._latent_suffstats(
+                px, Sigma_cross, Sigma_x0_cross, Sigma_x0_x0, mu_x0, y, u, r, logZ
+            )
+            return px, ss
+
+        # warm-up sweeps (latent_iters - 1), reference DMBD.update:191-194
+        for _ in range(latent_iters - 1):
+            px_w = self._init_px(r)
+            p, SEzz, SEz0, NA = self._role_estep(transition, initial, B, px_w, y, r)
+            px, _ = latents_given_p(x0, A, B, p, y, u, r)
+
+        if latent_iters <= 1 and px is None:
+            px = self._init_px(r)
+
+        # role E-step
+        p, SEzz, SEz0, NA = self._role_estep(transition, initial, B, px, y, r)
+        # role M-step (reference update_obs_parms:134-142)
+        transition = transition.ss_update(SEzz, lr=lr)
+        initial = initial.ss_update(SEz0, lr=lr)
+        unsdim = om.event_dim + 2
+        px4r = self._px4r(px, r)
+        XRY = (px4r, jnp.expand_dims(r, -unsdim), jnp.expand_dims(y, -unsdim))
+        B = om._obs_update(B, XRY, p, lr, None)
+        # latent E-step with updated roles
+        px, ss = latents_given_p(x0, A, B, p, y, u, r)
+        logZ = ss["logZ"]
+        # ELBO (reference DMBD.ELBO:213-219)
+        KL = x0.KLqprior() + A.KLqprior()
+        for _ in range(len(self.offset)):
+            if KL.ndim > 0:  # torch squeeze(-1) no-ops on scalars
+                KL = KL[..., 0] if KL.shape[-1] == 1 else KL
+        KL = KL + (
+            B.KLqprior().sum(-1)
+            + transition.KLqprior().sum(-1)
+            + initial.KLqprior()
+        )
+        lgm = transition.loggeomean()
+        contrib = jnp.where(jnp.isfinite(lgm), lgm * SEzz, 0.0).sum()
+        contrib = contrib + (initial.loggeomean() * SEz0).sum()
+        contrib = contrib - jnp.where(p > 1e-8, p * jnp.log(jnp.where(p > 1e-8, p, 1.0)), 0.0).sum()
+        ELBO = sum_leading(logZ, self.batch_dim).sum() - KL.sum() + contrib
+        # latent M-step
+        x0, A, stats = self._ss_update(x0, A, ss, p=None, lr=lr)
+        return (
+            x0,
+            A,
+            transition,
+            initial,
+            B,
+            (px.mu, px.Sigma, px.invSigmamu, px.invSigma),
+            p,
+            logZ,
+            ELBO,
+        )
+
+    def update(self, y, u=None, r=None, iters=1, latent_iters=1, lr=1.0, verbose=False):
+        y, u, r = self.reshape_inputs(y, u, r)
+        key = ("step", latent_iters)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                self._dmbd_step, static_argnames=("latent_iters",)
+            )
+        fn = self._jit_cache[key]
+        for _ in range(iters):
+            self.iters += 1
+            px_tuple = (
+                None
+                if self.px is None
+                else (self.px.mu, self.px.Sigma, self.px.invSigmamu, self.px.invSigma)
+            )
+            if px_tuple is None:
+                px0 = self._init_px(r)
+                px_tuple = (px0.mu, px0.Sigma, px0.invSigmamu, px0.invSigma)
+            (
+                self.x0,
+                self.A,
+                self.obs_model.transition,
+                self.obs_model.initial,
+                self.obs_model.obs_dist,
+                px_tuple,
+                self.obs_model.p,
+                self.logZ,
+                ELBO,
+            ) = fn(
+                self.x0,
+                self.A,
+                self.obs_model.transition,
+                self.obs_model.initial,
+                self.obs_model.obs_dist,
+                px_tuple,
+                y,
+                u,
+                r,
+                lr,
+                latent_iters,
+            )
+            self.px = MVN_vf(*px_tuple)
+            if verbose:
+                print(
+                    "Percent Change in ELBO = ",
+                    (ELBO - self.ELBO_last) / jnp.abs(self.ELBO_last) * 100,
+                )
+            self.ELBO_last = ELBO
+            self.ELBO_save.append(float(ELBO))
+
+    # ------------------------------------------------------------ assignments
+    def assignment_pr(self):
+        p_role = self.obs_model.assignment_pr()
+        p = p_role[..., : self.role_dims[0]].sum(-1, keepdims=True)
+        out = [p]
+        for n in range(self.number_of_objects):
+            start = self.role_dims[0] + n * (self.role_dims[1] + self.role_dims[2])
+            pb = p_role[..., start : start + self.role_dims[1]].sum(-1, keepdims=True)
+            pz = p_role[
+                ..., start + self.role_dims[1] : start + self.role_dims[1] + self.role_dims[2]
+            ].sum(-1, keepdims=True)
+            out += [pb, pz]
+        return jnp.concatenate(out, -1)
+
+    def particular_assignment_pr(self):
+        p_sbz = self.assignment_pr()
+        out = [p_sbz[..., :1]]
+        for n in range(self.number_of_objects):
+            out.append(p_sbz[..., 2 * n + 1 : 2 * n + 3].sum(-1, keepdims=True))
+        return jnp.concatenate(out, -1)
+
+    def particular_assignment(self):
+        return self.particular_assignment_pr().argmax(-1)
+
+    def assignment(self):
+        return self.assignment_pr().argmax(-1)
+
+    def KLqprior(self):
+        KL = self.x0.KLqprior() + self.A.KLqprior()
+        for _ in range(len(self.offset)):
+            if KL.ndim > 0:
+                KL = KL[..., 0] if KL.shape[-1] == 1 else KL
+        return KL + self.obs_model.KLqprior()
+
+    def ELBO(self):
+        return self.ELBO_last
+
+
+def _arhmm_elog_like_X(om, B, YR, p):
+    """ARHMM_prXRY.Elog_like_X with explicit obs_dist B and assignments p
+    (pure; reference models/ARHMM.py:79-91)."""
+    from ..utils.linalg import mT
+
+    Y, R = YR
+    invSigma_xr_xr, invSigmamu_xr, Residual = B.Elog_like_X(Y)
+    p1 = om.p1
+    invSigma_x_x = invSigma_xr_xr[..., :p1, :p1]
+    invSigmamu_x = invSigmamu_xr[..., :p1, :] - invSigma_xr_xr[..., :p1, p1:] @ R
+    Residual = Residual - 0.5 * (
+        invSigma_xr_xr[..., p1:, p1:] * (R * mT(R))
+    ).sum((-1, -2))
+    Residual = Residual + (invSigmamu_xr[..., p1:, :] * R).sum((-1, -2))
+    pv = p[..., None, None]
+    invSigma_x_x = (invSigma_x_x * pv).sum(-3)
+    invSigmamu_x = (invSigmamu_x * pv).sum(-3)
+    Residual = (Residual * p).sum(-1)
+    return invSigma_x_x, invSigmamu_x, Residual

@@ -236,7 +236,8 @@ class LinearDynamicalSystems:
         def fwd_step(carry, inputs):
             invSigma, invSigmamu, Residual = carry
             iS_like, iSm_like, Res_like, U = inputs
-            SigmaStar, logdetSigmaStar = psd_inv_and_logdet(invSigma + ATQA_x_x)
+            SigmaStar, logdet_invSigmaStar = psd_inv_and_logdet(invSigma + ATQA_x_x)
+            logdetSigmaStar = -logdet_invSigmaStar
             invSigmamu_t = iSm_like + QA_xp_u @ U
             invSigmamu_tm1 = invSigmamu - ATQA_x_u @ U
             invSigma_new = (
@@ -295,10 +296,11 @@ class LinearDynamicalSystems:
                 corr = (QA_xp_x @ SigmaStar_tp1) * mT(QA_xp_x)
             else:
                 corr = QA_xp_x @ SigmaStar_tp1 @ mT(QA_xp_x)
+            # general inverse: the compat-path matrix is non-symmetric
             Sigma_cross_t = (
                 SigmaStar_tp1
                 @ mT(QA_xp_x)
-                @ psd_inv(invGamma + iS_like_tp1 + invQ - corr)
+                @ jnp.linalg.inv(invGamma + iS_like_tp1 + invQ - corr)
             )
             # backward_step (reference :296-303)
             Sigma_tp1_tp1 = psd_inv(invQ + iS_like_tp1 + invGamma)
@@ -348,7 +350,7 @@ class LinearDynamicalSystems:
         Sigma_x0_cross = (
             SigmaStar[0]
             @ mT(QA_xp_x)
-            @ psd_inv(invGamma + invSigma_like[0] + invQ - corr0)
+            @ jnp.linalg.inv(invGamma + invSigma_like[0] + invQ - corr0)
         )
         Sigma_tp1_tp1 = psd_inv(invQ + invSigma_like[0] + invGamma)
         invGamma0 = ATQA_x_x - mT(QA_xp_x) @ Sigma_tp1_tp1 @ QA_xp_x
@@ -518,7 +520,8 @@ class LinearDynamicalSystems:
     def _KL(self, x0, A, obs_model):
         KL = x0.KLqprior() + A.KLqprior()
         for _ in range(len(self.offset)):
-            KL = KL[..., 0]
+            if KL.ndim > 0:  # torch squeeze(-1) no-ops on scalars
+                KL = KL[..., 0] if KL.shape[-1] == 1 else KL
         return KL + obs_model.KLqprior()
 
     def _jitted(self, name, fn, **kw):

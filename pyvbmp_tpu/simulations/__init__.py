@@ -1,0 +1,8 @@
+"""Synthetic data generators (counterpart of reference simulations/)."""
+from .lorenz import Lorenz
+from .newtons_cradle import NewtonsCradle
+from .flame import FlameSimulator
+from .forager import Forager
+from .cartthingy import cartthingy
+
+__all__ = ["Lorenz", "NewtonsCradle", "FlameSimulator", "Forager", "cartthingy"]

@@ -161,7 +161,8 @@ class MatrixNormalGamma(MatrixNormalWishart):
         else:
             KL = KL + self.invU.KLqprior()
         for _ in range(self.event_dim - 2):
-            KL = KL.sum(-1)
+            if KL.ndim > 0:  # torch sum(-1) on 0-dim is a no-op
+                KL = KL.sum(-1)
         return KL
 
     def forward(self, pX):

@@ -84,5 +84,7 @@ def lgamma_masked(x):
 
 
 def digamma_masked(x):
+    # NOTE: jax digamma(0) is NaN (torch: -inf); mask non-positive inputs
+    # directly so both the -inf and the NaN conventions map to 0.
     out = jax.scipy.special.digamma(x)
-    return jnp.where(jnp.isneginf(out), 0.0, out)
+    return jnp.where(x > 0, out, 0.0)

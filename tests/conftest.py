@@ -1,8 +1,9 @@
-"""Test harness: run on a virtual 8-device CPU mesh so sharding paths are
-exercised without TPU hardware."""
+"""Test harness: force CPU (the box exports JAX_PLATFORMS=axon which routes
+everything through the single-TPU tunnel; the env var cannot be overridden on
+this jax build — use config.update) and expose 8 virtual devices so sharding
+paths are exercised without TPU hardware."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -10,6 +11,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
