@@ -51,7 +51,7 @@ def bench_ours(cfg, data):
         role_dims=cfg["role_dims"],
         hidden_dims=cfg["hidden_dims"],
     )
-    model.update(y, iters=1)  # compile
+    model.update(y, iters=cfg["iters"])  # compile the fused multi-iter scan
     jax.block_until_ready(model.logZ)
     t0 = time.perf_counter()
     model.update(y, iters=cfg["iters"])

@@ -63,11 +63,19 @@ class Mixture:
         self.dist = self.dist.raw_update(self._reshape_data(X), self.p, lr)
 
     def update(self, X, iters=1, lr=1.0, verbose=False):
-        step = _mixture_step_jit(type(self.dist), self.event_dim, self.batch_dim)
-        for _ in range(iters):
+        Xv = self._reshape_data(X)
+        if iters == 1:
+            step = _mixture_step_jit(type(self.dist), self.event_dim, self.batch_dim)
             self.pi, self.dist, self.p, self.NA, self.logZ, ELBO = step(
-                self.pi, self.dist, self._reshape_data(X), lr
+                self.pi, self.dist, Xv, lr
             )
+            ELBOs = ELBO[None] if getattr(ELBO, "ndim", 0) else jnp.asarray([ELBO])
+        else:
+            step = _mixture_multi_jit(type(self.dist), self.event_dim, self.batch_dim)
+            self.pi, self.dist, self.p, self.NA, self.logZ, ELBOs = step(
+                self.pi, self.dist, Xv, lr, iters
+            )
+        for ELBO in ELBOs:
             if verbose:
                 pct = (ELBO - self.ELBO_last) / jnp.abs(self.ELBO_last) * 100.0
                 print("Percent Change in ELBO:   ", pct)
@@ -128,6 +136,22 @@ def _mixture_step(event_dim, batch_dim, pi, dist, Xv, lr):
     return pi, dist, p, NA, logZ, ELBO
 
 
+def _mixture_multi(event_dim, batch_dim, pi, dist, Xv, lr, iters):
+    """Fused multi-iteration VB-EM (single device call)."""
+
+    def body(carry, _):
+        pi, dist = carry
+        pi, dist, p, NA, logZ, ELBO = _mixture_step(
+            event_dim, batch_dim, pi, dist, Xv, lr
+        )
+        return (pi, dist), (p, NA, logZ, ELBO)
+
+    (pi, dist), (ps, NAs, logZs, ELBOs) = jax.lax.scan(
+        body, (pi, dist), None, length=iters
+    )
+    return pi, dist, ps[-1], NAs[-1], logZs[-1], ELBOs
+
+
 _step_cache = {}
 
 
@@ -135,4 +159,13 @@ def _mixture_step_jit(dist_cls, event_dim, batch_dim):
     key = (dist_cls, event_dim, batch_dim)
     if key not in _step_cache:
         _step_cache[key] = jax.jit(partial(_mixture_step, event_dim, batch_dim))
+    return _step_cache[key]
+
+
+def _mixture_multi_jit(dist_cls, event_dim, batch_dim):
+    key = (dist_cls, event_dim, batch_dim, "multi")
+    if key not in _step_cache:
+        _step_cache[key] = jax.jit(
+            partial(_mixture_multi, event_dim, batch_dim), static_argnames=("iters",)
+        )
     return _step_cache[key]

@@ -385,55 +385,82 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
             ELBO,
         )
 
+    def _dmbd_multi(self, x0, A, transition, initial, B, px_tuple, p0, y, u, r,
+                    lr, latent_iters, iters):
+        """``iters`` coordinate-ascent sweeps fused into one lax.scan so a fit
+        is a single device call (the per-call tunnel latency on pod frontends
+        otherwise dominates at reference-sized workloads)."""
+
+        def body(carry, _):
+            x0, A, transition, initial, B, px_tuple, p, logZ = carry
+            out = self._dmbd_step(
+                x0, A, transition, initial, B, px_tuple, y, u, r, lr, latent_iters
+            )
+            carry = out[:6] + (out[6], out[7])
+            return carry, out[8]
+
+        carry0 = (x0, A, transition, initial, B, px_tuple, p0,
+                  jnp.zeros(self._logZ_shape(y), y.dtype))
+        carry, ELBOs = jax.lax.scan(body, carry0, None, length=iters)
+        return carry, ELBOs
+
+    def _logZ_shape(self, y):
+        # logZ after time-sum: sample' + batch (see _latent_suffstats)
+        return y.shape[1: y.ndim - self.event_dim - 1]
+
     def update(self, y, u=None, r=None, iters=1, latent_iters=1, lr=1.0, verbose=False):
         y, u, r = self.reshape_inputs(y, u, r)
-        key = ("step", latent_iters)
+        key = ("multi", latent_iters, iters)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
-                self._dmbd_step, static_argnames=("latent_iters",)
+                self._dmbd_multi, static_argnames=("latent_iters", "iters")
             )
         fn = self._jit_cache[key]
-        for _ in range(iters):
-            self.iters += 1
-            px_tuple = (
-                None
-                if self.px is None
-                else (self.px.mu, self.px.Sigma, self.px.invSigmamu, self.px.invSigma)
-            )
-            if px_tuple is None:
-                px0 = self._init_px(r)
-                px_tuple = (px0.mu, px0.Sigma, px0.invSigmamu, px0.invSigma)
-            (
-                self.x0,
-                self.A,
-                self.obs_model.transition,
-                self.obs_model.initial,
-                self.obs_model.obs_dist,
-                px_tuple,
-                self.obs_model.p,
-                self.logZ,
-                ELBO,
-            ) = fn(
-                self.x0,
-                self.A,
-                self.obs_model.transition,
-                self.obs_model.initial,
-                self.obs_model.obs_dist,
-                px_tuple,
-                y,
-                u,
-                r,
-                lr,
-                latent_iters,
-            )
-            self.px = MVN_vf(*px_tuple)
+        if self.px is None:
+            px0 = self._init_px(r)
+            px_tuple = (px0.mu, px0.Sigma, px0.invSigmamu, px0.invSigma)
+        else:
+            px_tuple = (self.px.mu, self.px.Sigma, self.px.invSigmamu, self.px.invSigma)
+        if self.obs_model.p is None:
+            p0 = jnp.ones(y.shape[:-2] + (self.role_dim,), y.dtype) / self.role_dim
+        else:
+            p0 = self.obs_model.p
+        carry, ELBOs = fn(
+            self.x0,
+            self.A,
+            self.obs_model.transition,
+            self.obs_model.initial,
+            self.obs_model.obs_dist,
+            px_tuple,
+            p0,
+            y,
+            u,
+            r,
+            lr,
+            latent_iters,
+            iters,
+        )
+        (
+            self.x0,
+            self.A,
+            self.obs_model.transition,
+            self.obs_model.initial,
+            self.obs_model.obs_dist,
+            px_tuple,
+            self.obs_model.p,
+            self.logZ,
+        ) = carry
+        self.px = MVN_vf(*px_tuple)
+        ELBOs = np.asarray(ELBOs)
+        self.iters += iters
+        for e in ELBOs:
             if verbose:
                 print(
                     "Percent Change in ELBO = ",
-                    (ELBO - self.ELBO_last) / jnp.abs(self.ELBO_last) * 100,
+                    (e - self.ELBO_last) / abs(self.ELBO_last) * 100,
                 )
-            self.ELBO_last = ELBO
-            self.ELBO_save.append(float(ELBO))
+            self.ELBO_last = float(e)
+            self.ELBO_save.append(float(e))
 
     # ------------------------------------------------------------ assignments
     def assignment_pr(self):

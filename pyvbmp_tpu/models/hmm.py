@@ -154,9 +154,9 @@ class HMM:
         ELBO = logZ - KL
         return transition, initial, obs_dist, p, NA, logZ, ELBO
 
-    def _jitted(self, name, fn, **jitkw):
+    def _jitted(self, name, fn, _prejitted=False, **jitkw):
         if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(fn, **jitkw)
+            self._jit_cache[name] = fn if _prejitted else jax.jit(fn, **jitkw)
         return self._jit_cache[name]
 
     # -- reference-API methods ---------------------------------------------------
@@ -179,9 +179,27 @@ class HMM:
     def update_obs_parms(self, X, lr=1.0, beta=None):
         self.obs_dist = self._obs_update(self.obs_dist, X, self.p, lr, beta)
 
+    def _vb_multi(self, transition, initial, obs_dist, X, lr, beta, iters):
+        """Fused multi-iteration VB-EM: one device call per fit."""
+
+        def body(carry, _):
+            transition, initial, obs_dist = carry
+            transition, initial, obs_dist, p, NA, logZ, ELBO = self._vb_step(
+                transition, initial, obs_dist, X, lr, beta
+            )
+            return (transition, initial, obs_dist), (p, NA, logZ, ELBO)
+
+        carry, (ps, NAs, logZs, ELBOs) = jax.lax.scan(
+            body, (transition, initial, obs_dist), None, length=iters
+        )
+        return carry + (
+            jax.tree_util.tree_map(lambda x: x[-1], (ps, NAs, logZs)),
+            ELBOs,
+        )
+
     def update(self, X, iters=1, T=None, lr=1.0, beta=None, verbose=False):
-        fn = self._jitted("vb_step", self._vb_step, static_argnames=("beta",))
-        for _ in range(iters):
+        if iters == 1:
+            fn = self._jitted("vb_step", self._vb_step, static_argnames=("beta",))
             (
                 self.transition,
                 self.initial,
@@ -191,6 +209,21 @@ class HMM:
                 self.logZ,
                 ELBO,
             ) = fn(self.transition, self.initial, self.obs_dist, X, lr, beta)
+            ELBOs = [ELBO]
+        else:
+            fn = self._jitted(
+                ("vb_multi",),
+                jax.jit(self._vb_multi, static_argnames=("beta", "iters")),
+                _prejitted=True,
+            )
+            (
+                self.transition,
+                self.initial,
+                self.obs_dist,
+                (self.p, self.NA, self.logZ),
+                ELBOs,
+            ) = fn(self.transition, self.initial, self.obs_dist, X, lr, beta, iters)
+        for ELBO in ELBOs:
             if verbose:
                 print(
                     "Percent Change in ELBO = ",

@@ -524,24 +524,53 @@ class LinearDynamicalSystems:
                 KL = KL[..., 0] if KL.shape[-1] == 1 else KL
         return KL + obs_model.KLqprior()
 
-    def _jitted(self, name, fn, **kw):
+    def _jitted(self, name, fn, _prejitted=False, **kw):
         if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(fn, **kw)
+            self._jit_cache[name] = fn if _prejitted else jax.jit(fn, **kw)
         return self._jit_cache[name]
+
+    def _vb_multi(self, x0, A, obs_model, y, u, r, lr, iters):
+        """``iters`` VB-EM sweeps fused into one lax.scan (single device call)."""
+
+        def body(carry, _):
+            x0, A, obs_model = carry
+            x0, A, obs_model, px, logZ, L = self._vb_step(x0, A, obs_model, y, u, r, lr)
+            return (x0, A, obs_model), (L, logZ)
+
+        (x0, A, obs_model), (Ls, logZs) = jax.lax.scan(
+            body, (x0, A, obs_model), None, length=iters
+        )
+        # recompute the final smoothed posterior for downstream consumers
+        px, ss = self._update_latents(x0, A, obs_model, y, u, r)
+        return x0, A, obs_model, px, logZs[-1], Ls
 
     # ---------------------------------------------------------- reference API
     def update(self, y, u=None, r=None, p=None, iters=1, lr=1.0, verbose=False):
         y, u, r = self.reshape_inputs(y, u, r)
-        step = self._jitted("vb_step", self._vb_step)
-        L_last = -jnp.inf
-        for _ in range(iters):
+        if iters == 1:
+            step = self._jitted("vb_step", self._vb_step)
             self.x0, self.A, self.obs_model, self.px, self.logZ, L = step(
                 self.x0, self.A, self.obs_model, y, u, r, lr
             )
-            DL = L - L_last
+            Ls = [L]
+        else:
+            fn = self._jitted(
+                ("vb_multi", iters),
+                jax.jit(self._vb_multi, static_argnames=("iters",)),
+                _prejitted=True,
+            )
+            self.x0, self.A, self.obs_model, self.px, self.logZ, Ls = fn(
+                self.x0, self.A, self.obs_model, y, u, r, lr, iters
+            )
+            Ls = np.asarray(Ls)
+        L_last = self.ELBO_last
+        for L in Ls:
             if verbose:
-                print("Percent Change in ELBO %f" % float(DL / jnp.abs(L) * 100))
-            L_last = L
+                print(
+                    "Percent Change in ELBO %f"
+                    % float((L - L_last) / abs(float(L)) * 100)
+                )
+            L_last = float(L)
             self.ELBO_save.append(float(L))
         self.ELBO_last = L_last
 

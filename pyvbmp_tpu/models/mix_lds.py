@@ -51,23 +51,36 @@ class MixtureofLinearDynamicalSystems:
         )
         return x0, A, obs_model, pi, p, logZ, ELBO
 
+    def _vb_multi(self, x0, A, obs_model, pi, y, u, r, lr, iters):
+        def body(carry, _):
+            x0, A, obs_model, pi = carry
+            x0, A, obs_model, pi, p, logZ, ELBO = self._vb_step(
+                x0, A, obs_model, pi, y, u, r, lr
+            )
+            return (x0, A, obs_model, pi), (p, logZ, ELBO)
+
+        carry, (ps, logZs, ELBOs) = jax.lax.scan(
+            body, (x0, A, obs_model, pi), None, length=iters
+        )
+        return carry + (ps[-1], logZs[-1], ELBOs)
+
     def update(self, y, u=None, r=None, iters=1, lr=1.0, verbose=False):
         y, u, r = self.lds.reshape_inputs(y, u, r)
         if self._jit is None:
-            self._jit = jax.jit(self._vb_step)
+            self._jit = jax.jit(self._vb_multi, static_argnames=("iters",))
         ELBO_last = -jnp.inf
-        for _ in range(iters):
-            (
-                self.lds.x0,
-                self.lds.A,
-                self.lds.obs_model,
-                self.pi,
-                self.p,
-                self.logZ,
-                ELBO,
-            ) = self._jit(
-                self.lds.x0, self.lds.A, self.lds.obs_model, self.pi, y, u, r, lr
-            )
+        (
+            self.lds.x0,
+            self.lds.A,
+            self.lds.obs_model,
+            self.pi,
+            self.p,
+            self.logZ,
+            ELBOs,
+        ) = self._jit(
+            self.lds.x0, self.lds.A, self.lds.obs_model, self.pi, y, u, r, lr, iters
+        )
+        for ELBO in ELBOs:
             if verbose:
                 print(
                     "Percent Change in ELBO = %f"

@@ -219,9 +219,17 @@ class MultiNomialLogisticRegression:
 
     # -- prediction -----------------------------------------------------------------
     def log_predict(self, X):
-        """Per-class log-probability lower bound via q(w) = pg(w|b, sqrt(<psi^2>))
-        (reference MNLR.log_predict_1:285-304; ``log_predict`` in the reference
-        evaluates the same bound class-by-class)."""
+        """Per-class log-probability lower bound: Elog_like at each one-hot
+        class, vectorized over a leading class axis (reference
+        MNLR.log_predict:244-249; broadcasts against batched MNLRs)."""
+        sample_shape = X.shape[:-1]
+        Yt = jnp.eye(self.n + 1)
+        Yt = Yt.reshape((self.n + 1,) + (1,) * len(sample_shape) + (self.n + 1,))
+        return jnp.moveaxis(self.Elog_like(X, Yt), 0, -1)
+
+    def log_predict_1(self, X):
+        """Equivalent cumsum form (reference MNLR.log_predict_1:285-304);
+        cheaper for unbatched MNLRs."""
         X = self._padded(X)
         lnpsb = X @ mT(self.beta.mean()[..., 0])
         Xc = X[..., None, :, None]

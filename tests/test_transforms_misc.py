@@ -1,0 +1,213 @@
+"""Tests for MNLR, Bouchard, mixtures of linear transforms, RRR, NL
+regressions, TensorNormalWishart, MultiLinearNormalWishart — converted from
+reference tests/test_dists.py, test_models.py, test_multilinear.py scenarios."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pyvbmp_tpu.dists import (
+    Delta,
+    MultivariateNormal_vector_format as MVN_vf,
+    NormalInverseWishart_vector_format,
+    NormalInverseWishart_vector_format_invSigma,
+    TensorNormalWishart,
+)
+from pyvbmp_tpu.transforms import (
+    MixtureofLinearTransforms,
+    MultiLinearNormalWishart,
+    MultiNomialLogisticRegression,
+    MultiNomialLogisticRegression_Bouchard,
+    NLRegression_Multinomial,
+    NLRegression_full_rank,
+    NLRegression_low_rank,
+    ReducedRankRegression,
+    dMixtureofLinearTransforms,
+)
+
+
+def _blob_classification(key=0, ns=300, K=3, p=2):
+    rs = np.random.RandomState(key)
+    mus = np.asarray([[-3.0, 0.0], [3.0, 0.0], [0.0, 3.0]])[:K]
+    X = np.concatenate([mus[i] + rs.randn(ns // K, p) for i in range(K)])
+    y = np.repeat(np.arange(K), ns // K)
+    Y = np.eye(K, dtype=np.float32)[y]
+    return jnp.asarray(X, jnp.float32), jnp.asarray(Y), y
+
+
+def test_mnlr_classification():
+    X, Y, y = _blob_classification()
+    m = MultiNomialLogisticRegression(3, 2)
+    for _ in range(8):
+        m.raw_update(X, Y, iters=2)
+    acc = (np.asarray(m.predict(X)).argmax(-1) == y).mean()
+    assert acc > 0.9
+    # log_predict normalizes to a distribution
+    lp = np.asarray(m.log_predict(X))
+    assert np.all(np.isfinite(lp))
+
+
+def test_mnlr_minibatch_beta_accumulation():
+    X, Y, y = _blob_classification()
+    m = MultiNomialLogisticRegression(3, 2)
+    for _ in range(4):
+        m.raw_update(X[:150], Y[:150], iters=1, beta=1.0)
+        m.raw_update(X[150:], Y[150:], iters=1, beta=1.0)
+    acc = (np.asarray(m.predict(X)).argmax(-1) == y).mean()
+    assert acc > 0.85
+
+
+def test_mnlr_backward_message():
+    X, Y, y = _blob_classification()
+    m = MultiNomialLogisticRegression(3, 2)
+    for _ in range(6):
+        m.raw_update(X, Y, iters=2)
+    pX, res = m.backward(jnp.eye(3))
+    assert pX.mean().shape == (3, 2, 1)
+    # backward of class-k one-hot should sit near the class mean direction
+    assert np.all(np.isfinite(np.asarray(pX.mean())))
+
+
+def test_bouchard_classification():
+    X, Y, y = _blob_classification()
+    m = MultiNomialLogisticRegression_Bouchard(3, 2)
+    for _ in range(8):
+        m.raw_update(X, Y, iters=4)
+    acc = (np.asarray(m.predict(X)).argmax(-1) == y).mean()
+    assert acc > 0.9
+
+
+def _piecewise_linear(key=0, ns=400):
+    rs = np.random.RandomState(key)
+    X = rs.rand(ns, 1).astype(np.float32) * 4 - 2
+    Y = np.where(X < 0, 2 * X + 1, -X + 1) + 0.05 * rs.randn(ns, 1).astype(np.float32)
+    return jnp.asarray(X), jnp.asarray(Y)
+
+
+def test_mixture_of_linear_transforms():
+    X, Y = _piecewise_linear()
+    m = MixtureofLinearTransforms(1, 1, 2, pad_X=True)
+    m.raw_update(X[..., None], Y[..., None], iters=15)
+    pY, p = m.predict(X[..., None])
+    err = np.abs(np.asarray(pY.mean())[..., 0] - np.asarray(Y)).mean()
+    assert err < 0.15
+
+
+def test_dmix_linear_transforms_predict():
+    X, Y = _piecewise_linear(1)
+    m = dMixtureofLinearTransforms(1, 1, 2)
+    m.raw_update(X, Y, iters=15)
+    pY, p = m.predict(X)
+    err = np.abs(np.asarray(pY.mean())[..., 0] - np.asarray(Y)).mean()
+    assert err < 0.15
+
+
+def test_dmix_update_with_messages():
+    X, Y = _piecewise_linear(2)
+    m = dMixtureofLinearTransforms(1, 1, 2)
+    pX = MVN_vf(
+        mu=X[..., None], Sigma=1e-6 * jnp.broadcast_to(jnp.eye(1), (400, 1, 1))
+    )
+    pY = MVN_vf(
+        mu=Y[..., None], Sigma=1e-6 * jnp.broadcast_to(jnp.eye(1), (400, 1, 1))
+    )
+    m.update(pX, pY, iters=10)
+    e = np.asarray(m.ELBO_save)
+    assert np.isfinite(e).all()
+
+
+def test_reduced_rank_regression():
+    rs = np.random.RandomState(3)
+    ns, n, p, d = 400, 6, 5, 2
+    U = rs.randn(ns, d)
+    A = rs.randn(n, d)
+    B = rs.randn(p, d)
+    Y = (U @ A.T + 0.05 * rs.randn(ns, n)).astype(np.float32)
+    X = (U @ B.T + 0.05 * rs.randn(ns, p)).astype(np.float32)
+    m = ReducedRankRegression(n, p, d)
+    m.raw_update(jnp.asarray(X), jnp.asarray(Y), iters=10)
+    # effective regression W = A B^+ should predict Y from X
+    pY, _ = m.predict(jnp.asarray(X)[..., None])
+    err = np.abs(np.asarray(pY.mean())[..., 0] - Y).mean()
+    assert err < 0.5
+    # rank of EW should be ~d
+    EW = np.asarray(m.EW())
+    s = np.linalg.svd(EW, compute_uv=False)
+    assert s[d - 1] / s[0] > 0.01 and s[d] / s[0] < 0.2
+
+
+@pytest.mark.parametrize("cls", [NLRegression_full_rank, NLRegression_low_rank])
+def test_nl_regression(cls):
+    X, Y = _piecewise_linear(4)
+    if cls is NLRegression_low_rank:
+        m = cls(1, 1, 1, 2)
+    else:
+        m = cls(1, 1, 2)
+    m.raw_update(X, Y, iters=15)
+    out = m.predict(X)
+    pY = out[0]
+    err = np.abs(np.asarray(pY.mean())[..., 0] - np.asarray(Y)).mean()
+    assert err < 0.3
+
+
+def test_nl_regression_multinomial():
+    X, Y = _piecewise_linear(5)
+    m = NLRegression_Multinomial(1, 1, 2)
+    m.raw_update(X, Y, iters=15)
+    pY, p = m.predict(X)
+    err = np.abs(np.asarray(pY.mean())[..., 0] - np.asarray(Y)).mean()
+    assert err < 0.25
+
+
+def test_tensor_normal_wishart_kron_recovery():
+    """Kronecker covariance recovery (reference tests/test_dists.py:289-330)."""
+    rs = np.random.RandomState(6)
+    d1, d2, ns = 3, 4, 2000
+    L1 = rs.randn(d1, d1) * 0.3 + np.eye(d1)
+    L2 = rs.randn(d2, d2) * 0.3 + np.eye(d2)
+    S1, S2 = L1 @ L1.T, L2 @ L2.T
+    Z = rs.randn(ns, d1, d2)
+    X = np.einsum("ab,nbc,dc->nad", L1, Z, L2).astype(np.float32)
+    m = TensorNormalWishart.create((d1, d2))
+    m = m.raw_update(jnp.asarray(X), iters=4)
+    # full covariance should match S1 kron S2 up to scale
+    Sig = np.asarray(m.ESigma()).reshape(d1 * d2, d1 * d2)
+    # compare normalized correlation structure
+    true = np.kron(S1, S2)
+    Sig = Sig / np.trace(Sig)
+    true = true / np.trace(true)
+    assert np.abs(Sig - true).max() < 0.02
+
+
+def test_multilinear_normal_wishart():
+    rs = np.random.RandomState(7)
+    ns, n = 500, 3
+    p_list = [2, 4]
+    A1 = rs.randn(n, 2)
+    A2 = rs.randn(n, 4)
+    X1 = rs.randn(ns, 2, 1).astype(np.float32)
+    X2 = rs.randn(ns, 4, 1).astype(np.float32)
+    b = np.asarray([1.0, -1.0, 0.5])[:, None]
+    Y = (A1 @ X1 + A2 @ X2 + b + 0.05 * rs.randn(ns, n, 1)).astype(np.float32)
+    m = MultiLinearNormalWishart(n, p_list)
+    for _ in range(5):
+        m.raw_update([jnp.asarray(X1), jnp.asarray(X2)], jnp.asarray(Y), iters=1)
+    e1 = np.abs(np.asarray(m.A[0].mean()) - A1).max()
+    e2 = np.abs(np.asarray(m.A[1].mean()) - A2).max()
+    eb = np.abs(np.asarray(m.bias.mean()) - b).max()
+    assert e1 < 0.1 and e2 < 0.1 and eb < 0.15
+
+
+def test_niw_vector_format_variants():
+    rs = np.random.RandomState(8)
+    X = jnp.asarray(rs.randn(500, 3, 1) * 0.5 + np.asarray([1.0, -1.0, 2.0])[:, None],
+                    jnp.float32)
+    for cls in (NormalInverseWishart_vector_format,
+                NormalInverseWishart_vector_format_invSigma):
+        d = cls.create((3, 1))
+        d = d.raw_update(X)
+        np.testing.assert_allclose(
+            np.asarray(d.mean())[..., 0], [1.0, -1.0, 2.0], atol=0.1
+        )
+        assert np.isfinite(float(d.KLqprior().sum()))
+        assert np.isfinite(np.asarray(d.Elog_like(X))).all()
