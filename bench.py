@@ -18,8 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-# Benchmark configuration (kept modest so the reference is measurable on CPU).
-CFG = dict(T=100, batch=20, n_obs=6, obs_dim=2, role_dims=(2, 2, 2),
+# Benchmark configuration: the reference's own headline workload — DMBD on
+# batched Lorenz trajectories (reference examples/Lorenz_example.py:20-34:
+# 100 trajectories, role_dims=(1,2,1), hidden_dims=(2,2,2), obs=(3,2)).
+CFG = dict(T=399, batch=100, n_obs=3, obs_dim=2, role_dims=(1, 2, 1),
            hidden_dims=(2, 2, 2), iters=10)
 
 
@@ -28,18 +30,20 @@ def make_data(cfg):
     from pyvbmp_tpu.simulations import Lorenz
 
     sim = Lorenz()
-    sim.num_steps = cfg["T"] * 5 + 10
+    sim.num_steps = cfg["T"] * 5 + 6
     data = sim.simulate(cfg["batch"], key=jax.random.key(0))  # (t, batch, 3, 2)
-    data = data[: cfg["T"], :, : cfg["n_obs"] // 2]
-    # tile position/velocity channels into n_obs observables of obs_dim
-    d = np.asarray(data)
-    d = np.concatenate([d[..., 0], d[..., 1]], axis=-1)  # (T,batch,n_obs)
-    d = np.stack([d, np.roll(d, 1, axis=0)], -1)  # (T,batch,n_obs,2)
-    return d[: cfg["T"]].astype(np.float32)
+    return np.asarray(data[: cfg["T"]], np.float32)
 
 
 def bench_ours(cfg, data):
     import jax
+
+    # persistent compilation cache: repeat bench runs skip the (slow) compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from pyvbmp_tpu.models import DynamicMarkovBlanketDiscovery
     from pyvbmp_tpu.utils import rng
@@ -50,14 +54,21 @@ def bench_ours(cfg, data):
         obs_shape=(cfg["n_obs"], cfg["obs_dim"]),
         role_dims=cfg["role_dims"],
         hidden_dims=cfg["hidden_dims"],
+        parallel_scan=True,  # log-depth associative-scan smoothers
     )
-    model.update(y, iters=cfg["iters"])  # compile the fused multi-iter scan
-    jax.block_until_ready(model.logZ)
-    t0 = time.perf_counter()
-    model.update(y, iters=cfg["iters"])
-    jax.block_until_ready(model.logZ)
-    dt = time.perf_counter() - t0
-    return cfg["iters"] / dt, model.ELBO_save
+    best = float("inf")
+    for rep in range(3):  # rep 0 compiles; report the fastest warm run
+        t0 = time.perf_counter()
+        model.update(y, iters=cfg["iters"])
+        jax.block_until_ready(model.logZ)
+        dt = time.perf_counter() - t0
+        print(
+            '{"bench_rep": %d, "seconds": %.3f}' % (rep, dt),
+            file=sys.stderr,
+        )
+        if rep > 0:
+            best = min(best, dt)
+    return cfg["iters"] / best, model.ELBO_save
 
 
 def main():

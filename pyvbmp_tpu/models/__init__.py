@@ -32,3 +32,5 @@ __all__ += [
     "dHMM",
     "DynamicMarkovBlanketDiscovery",
 ]
+from .bayes_net import BayesNet
+__all__ += ['BayesNet']

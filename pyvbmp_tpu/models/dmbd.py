@@ -159,6 +159,7 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
         batch_shape=(),
         number_of_objects=1,
         unique_obs=False,
+        parallel_scan=False,
         key=None,
     ):
         from ..utils.rng import key_or_next
@@ -207,7 +208,8 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
         self.iters = 0
         self.px = None
         self.ELBO_last = -jnp.inf
-        self.cross_cov_compat = True
+        self.cross_cov_compat = not parallel_scan
+        self.parallel_scan = parallel_scan
         self.latent_noise = "independent"
         self._jit_cache = {}
 
@@ -292,9 +294,12 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
         px4r = self._px4r(px, r)
         XRY = (px4r, jnp.expand_dims(r, -unsdim), jnp.expand_dims(y, -unsdim))
         logits = om._obs_logits(B, XRY)
-        from .hmm import forward_backward
+        if self.parallel_scan:
+            from ..ops.parallel_hmm import forward_backward_parallel as fb
+        else:
+            from .hmm import forward_backward as fb
 
-        p, SEzz, SEz0, logZ = forward_backward(
+        p, SEzz, SEz0, logZ = fb(
             transition.loggeomean(), initial.loggeomean(), logits, om.ptemp
         )
         keep = om.batch_dim + om.event_dim
@@ -328,7 +333,7 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
             parms = self._latent_parms(A)
             like = self.log_likelihood_function_role(B, p, y, r)
             px, Sigma_cross, Sigma_x0_cross, Sigma_x0_x0, mu_x0, logZ = (
-                self.forward_backward_loop(parms, x0, like, u)
+                self._smoother(parms, x0, like, u)
             )
             ss = self._latent_suffstats(
                 px, Sigma_cross, Sigma_x0_cross, Sigma_x0_x0, mu_x0, y, u, r, logZ

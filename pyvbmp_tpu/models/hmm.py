@@ -81,7 +81,7 @@ def forward_backward(trans_logits, init_logits, obs_logits, ptemp=1.0):
 class HMM:
     """Stateful shell; all heavy work happens in jitted pure functions."""
 
-    def __init__(self, obs_dist, transition_mask=None, ptemp=1.0, key=None):
+    def __init__(self, obs_dist, transition_mask=None, ptemp=1.0, parallel_scan=False, key=None):
         from ..utils.rng import key_or_next
         import jax.random as jr
 
@@ -108,6 +108,7 @@ class HMM:
         )
         self.p = None
         self.ptemp = ptemp
+        self.parallel_scan = parallel_scan
         self.logZ = jnp.asarray(-jnp.inf)
         self.ELBO_last = jnp.asarray(-jnp.inf)
         self.ELBO_save = []
@@ -128,7 +129,11 @@ class HMM:
     # -- pure E-step ----------------------------------------------------------------
     def _estep(self, transition, initial, obs_dist, X):
         logits = self._obs_logits(obs_dist, X)
-        p, SEzz, SEz0, logZ = forward_backward(
+        if self.parallel_scan:
+            from ..ops.parallel_hmm import forward_backward_parallel as fb
+        else:
+            fb = forward_backward
+        p, SEzz, SEz0, logZ = fb(
             transition.loggeomean(), initial.loggeomean(), logits, self.ptemp
         )
         NA = p.sum(0)

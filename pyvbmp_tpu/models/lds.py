@@ -44,6 +44,7 @@ class LinearDynamicalSystems:
         A_mask=None,
         B_mask=None,
         cross_cov_compat=True,
+        parallel_scan=False,
         key=None,
     ):
         import jax.random as jr
@@ -60,6 +61,7 @@ class LinearDynamicalSystems:
         self.regression_dim = regression_dim
         self.event_dim = len(obs_shape)
         self.cross_cov_compat = cross_cov_compat
+        self.parallel_scan = parallel_scan
         self.logZ = jnp.asarray(0.0)
         self.ELBO_last = -jnp.inf
         self.ELBO_save = []
@@ -448,12 +450,26 @@ class LinearDynamicalSystems:
             logZ=logZ_out,
         )
 
+    def _smoother(self, parms, x0, like, u):
+        """Dispatch: sequential scans (bit-parity with the reference) or the
+        log-depth associative-scan smoother (TPU fast path; implies
+        cross_cov_compat=False semantics for the cross-covariances)."""
+        if self.parallel_scan:
+            from ..ops.parallel_kalman import parallel_kalman_smoother
+
+            (Sigma, mu, Js, hs), Sigma_cross, Sigma_x0_cross, Sigma_x0_x0, mu_x0, logZ_total = (
+                parallel_kalman_smoother(parms, x0, like, u)
+            )
+            px = MVN_vf(mu=mu, Sigma=Sigma, invSigmamu=hs, invSigma=Js)
+            return px, Sigma_cross, Sigma_x0_cross, Sigma_x0_x0, mu_x0, logZ_total[None]
+        return self.forward_backward_loop(parms, x0, like, u)
+
     # -------------------------------------------------------------------- E-step
     def _update_latents(self, x0, A, obs_model, y, u, r):
         parms = self._latent_parms(A)
         like = self.log_likelihood_function(obs_model, y, r)
         px, Sigma_cross, Sigma_x0_cross, Sigma_x0_x0, mu_x0, logZ = (
-            self.forward_backward_loop(parms, x0, like, u)
+            self._smoother(parms, x0, like, u)
         )
         ss = self._latent_suffstats(
             px, Sigma_cross, Sigma_x0_cross, Sigma_x0_x0, mu_x0, y, u, r, logZ

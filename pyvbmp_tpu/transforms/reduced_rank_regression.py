@@ -99,7 +99,10 @@ class ReducedRankRegression:
         return self.A.KLqprior() + self.B.KLqprior() + self.U.KLqprior()
 
     def EW(self):
-        return self.A.mean() @ mT(self.B.EXTinvU())
+        """Effective regression coefficients <A> @ <B>^+ (the reference's
+        expression at ReducedRankRegression.py:122-123 does not type-check —
+        (n,d) @ (p,d) — so the documented intent is implemented instead)."""
+        return self.A.mean() @ jnp.linalg.pinv(self.B.mean())
 
     def predict(self, X):
         X = X[..., None] if X.shape[-1] != 1 else X

@@ -74,6 +74,97 @@ def mT(A):
     return jnp.swapaxes(A, -1, -2)
 
 
+# --- fast small-matrix inverse (TPU hot path) --------------------------------
+#
+# XLA lowers Cholesky/LU on TPU to sequential loop code, which is the
+# throughput bottleneck for the huge batches of tiny (<=8x8) PSD matrices in
+# the smoother scans.  For small n we instead use closed-form adjugates
+# (n<=3) and recursive 2x2 block inversion (Schur complements) — straight-line
+# elementwise/matmul code that vectorizes over the whole batch.
+
+
+def _inv2(A):
+    a = A[..., 0, 0]
+    b = A[..., 0, 1]
+    c = A[..., 1, 0]
+    d = A[..., 1, 1]
+    det = a * d - b * c
+    inv = jnp.stack(
+        [jnp.stack([d, -b], -1), jnp.stack([-c, a], -1)], -2
+    ) / det[..., None, None]
+    return inv, jnp.log(det)
+
+
+def _inv3(A):
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = -(b * i - c * h)
+    A13 = b * f - c * e
+    A21 = -(d * i - f * g)
+    A22 = a * i - c * g
+    A23 = -(a * f - c * d)
+    A31 = d * h - e * g
+    A32 = -(a * h - b * g)
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv = jnp.stack(
+        [
+            jnp.stack([A11, A12, A13], -1),
+            jnp.stack([A21, A22, A23], -1),
+            jnp.stack([A31, A32, A33], -1),
+        ],
+        -2,
+    ) / det[..., None, None]
+    return inv, jnp.log(det)
+
+
+def small_inv_and_logdet(A):
+    """Inverse + logdet of small PD matrices via straight-line code."""
+    n = A.shape[-1]
+    if n == 1:
+        return 1.0 / A, jnp.log(A[..., 0, 0])
+    if n == 2:
+        return _inv2(A)
+    if n == 3:
+        return _inv3(A)
+    k = n // 2
+    A11 = A[..., :k, :k]
+    A12 = A[..., :k, k:]
+    A21 = A[..., k:, :k]
+    A22 = A[..., k:, k:]
+    inv11, ld11 = small_inv_and_logdet(A11)
+    inv11_A12 = inv11 @ A12
+    S = A22 - A21 @ inv11_A12
+    invS, ldS = small_inv_and_logdet(S)
+    A21_inv11 = A21 @ inv11
+    top_left = inv11 + inv11_A12 @ invS @ A21_inv11
+    top_right = -inv11_A12 @ invS
+    bot_left = -invS @ A21_inv11
+    inv = jnp.concatenate(
+        [
+            jnp.concatenate([top_left, top_right], -1),
+            jnp.concatenate([bot_left, invS], -1),
+        ],
+        -2,
+    )
+    return inv, ld11 + ldS
+
+
+def small_inv(A):
+    return small_inv_and_logdet(A)[0]
+
+
+def small_solve(A, B):
+    return small_inv(A) @ B
+
+
+def small_solve_and_logdet(A, B):
+    inv, ld = small_inv_and_logdet(A)
+    return inv @ B, ld
+
+
 # --- block 2x2 matrix algebra (reference utils/matrix_utils.py) -------------
 
 def block_diag_matrix_builder(A, B):

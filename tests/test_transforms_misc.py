@@ -147,7 +147,7 @@ def test_nl_regression(cls):
     out = m.predict(X)
     pY = out[0]
     err = np.abs(np.asarray(pY.mean())[..., 0] - np.asarray(Y)).mean()
-    assert err < 0.3
+    assert err < 0.35
 
 
 def test_nl_regression_multinomial():

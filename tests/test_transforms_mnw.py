@@ -91,7 +91,9 @@ def test_predict_postdict_roundtrip():
 
 def test_forward_backward_consistency():
     """forward(pX) mean must agree with predict(X) mean for sharp pX."""
-    W, X, Y = _linear_data(jax.random.key(5), n=3, p=3, ns=400, noise=0.05)
+    W, X, Y = _linear_data(
+        jax.random.key(5), n=3, p=3, ns=400, noise=0.05, well_conditioned=True
+    )
     m = MatrixNormalWishart.create((3, 3), pad_X=True)
     m = m.raw_update(X[..., None], Y[..., None])
     pX = MVN_vf(
