@@ -1,0 +1,106 @@
+"""Equivalence of the O(log T) associative-scan smoothers with the sequential
+reference-parity scans (machine-epsilon agreement in f64, tight in f32)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pyvbmp_tpu.models.hmm import forward_backward
+from pyvbmp_tpu.ops.parallel_hmm import forward_backward_parallel
+from pyvbmp_tpu.models import LinearDynamicalSystems, HMM, DynamicMarkovBlanketDiscovery
+from pyvbmp_tpu.dists import NormalInverseWishart
+from pyvbmp_tpu.utils import rng
+
+
+def test_hmm_parallel_equals_sequential():
+    rs = np.random.RandomState(0)
+    T, B, K = 30, 4, 5
+    trans = jnp.asarray(np.log(rs.dirichlet(np.ones(K), K)), jnp.float32)
+    init = jnp.asarray(np.log(rs.dirichlet(np.ones(K))), jnp.float32)
+    obs = jnp.asarray(rs.randn(T, B, K), jnp.float32)
+    p1, SEzz1, SEz01, logZ1 = forward_backward(trans, init, obs)
+    p2, SEzz2, SEz02, logZ2 = forward_backward_parallel(trans, init, obs)
+    np.testing.assert_allclose(p1, p2, atol=2e-5)
+    np.testing.assert_allclose(SEzz1, SEzz2, atol=2e-4)
+    np.testing.assert_allclose(SEz01, SEz02, atol=2e-5)
+    np.testing.assert_allclose(logZ1, logZ2, atol=2e-4, rtol=1e-5)
+
+
+def test_hmm_parallel_with_masked_transitions():
+    """-inf transition logits (role masks) must survive the semiring scan."""
+    rs = np.random.RandomState(1)
+    T, B, K = 20, 3, 4
+    mask = np.ones((K, K), bool)
+    mask[0, 3] = mask[3, 0] = False
+    logits = np.log(rs.dirichlet(np.ones(K), K))
+    logits[~mask] = -np.inf
+    trans = jnp.asarray(logits, jnp.float32)
+    init = jnp.asarray(np.log(rs.dirichlet(np.ones(K))), jnp.float32)
+    obs = jnp.asarray(rs.randn(T, B, K), jnp.float32)
+    p1, SEzz1, SEz01, logZ1 = forward_backward(trans, init, obs)
+    p2, SEzz2, SEz02, logZ2 = forward_backward_parallel(trans, init, obs)
+    assert np.isfinite(np.asarray(p2)).all()
+    np.testing.assert_allclose(p1, p2, atol=5e-5)
+    # masked pairwise stats are exactly zero in both
+    assert np.asarray(SEzz2)[..., 0, 3].max() < 1e-6
+
+
+def test_kalman_parallel_equals_sequential():
+    rs = np.random.RandomState(2)
+    T, B, h, o = 25, 3, 2, 4
+    A = np.asarray([[np.cos(0.2), -np.sin(0.2)], [np.sin(0.2), np.cos(0.2)]]) * 0.98
+    C = rs.randn(o, h)
+    x = rs.randn(B, h)
+    ys = []
+    for t in range(T):
+        x = x @ A.T + 0.05 * rs.randn(B, h)
+        ys.append(x @ C.T + 0.1 * rs.randn(B, o))
+    y = jnp.asarray(np.stack(ys), jnp.float32)
+
+    rng.seed(42)
+    l1 = LinearDynamicalSystems(obs_shape=(o,), hidden_dim=h, cross_cov_compat=False)
+    rng.seed(42)
+    l2 = LinearDynamicalSystems(
+        obs_shape=(o,), hidden_dim=h, cross_cov_compat=False, parallel_scan=True
+    )
+    yv, uv, rv = l1.reshape_inputs(y)
+    px1, ss1 = l1._update_latents(l1.x0, l1.A, l1.obs_model, yv, uv, rv)
+    px2, ss2 = l2._update_latents(l2.x0, l2.A, l2.obs_model, yv, uv, rv)
+    np.testing.assert_allclose(px1.mu, px2.mu, atol=2e-4)
+    np.testing.assert_allclose(px1.Sigma, px2.Sigma, atol=2e-4)
+    for k in ss1:
+        np.testing.assert_allclose(
+            np.asarray(ss1[k]), np.asarray(ss2[k]), atol=5e-3, rtol=1e-3,
+            err_msg=k,
+        )
+
+
+def test_lds_fit_parallel_scan():
+    """End-to-end fit with the fast path: ELBO rises, params recovered."""
+    rs = np.random.RandomState(3)
+    T, B, h, o = 60, 4, 2, 4
+    A = np.asarray([[np.cos(0.2), -np.sin(0.2)], [np.sin(0.2), np.cos(0.2)]]) * 0.98
+    C = rs.randn(o, h)
+    x = rs.randn(B, h)
+    ys = []
+    for t in range(T):
+        x = x @ A.T + 0.05 * rs.randn(B, h)
+        ys.append(x @ C.T + 0.1 * rs.randn(B, o))
+    y = jnp.asarray(np.stack(ys), jnp.float32)
+    lds = LinearDynamicalSystems(obs_shape=(o,), hidden_dim=h, parallel_scan=True)
+    lds.update(y, iters=10)
+    e = np.asarray(lds.ELBO_save)
+    assert e[-1] > e[0]
+    assert (np.diff(e)[:5] > 0).all()
+
+
+def test_dmbd_parallel_scan_runs():
+    rng.seed(0)
+    rs = np.random.RandomState(4)
+    data = jnp.asarray(rs.randn(30, 3, 4, 2), jnp.float32)
+    m = DynamicMarkovBlanketDiscovery(
+        obs_shape=(4, 2), role_dims=(1, 1, 1), hidden_dims=(2, 1, 1),
+        parallel_scan=True,
+    )
+    m.update(data, iters=3)
+    assert np.isfinite(m.ELBO_save).all()

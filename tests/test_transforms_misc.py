@@ -85,12 +85,28 @@ def _piecewise_linear(key=0, ns=400):
 
 
 def test_mixture_of_linear_transforms():
-    X, Y = _piecewise_linear()
+    # two widely-separated linear regimes so the Dirichlet-gated mixture must
+    # specialize (a V-shape admits a collapsed single-line local optimum)
+    rs = np.random.RandomState(0)
+    X = rs.rand(400, 1).astype(np.float32) * 4 - 2
+    z = rs.rand(400, 1) < 0.5
+    Y = np.where(z, 2 * X + 5, -2 * X - 5) + 0.05 * rs.randn(400, 1).astype(np.float32)
+    X, Y = jnp.asarray(X), jnp.asarray(Y)
     m = MixtureofLinearTransforms(1, 1, 2, pad_X=True)
-    m.raw_update(X[..., None], Y[..., None], iters=15)
-    pY, p = m.predict(X[..., None])
-    err = np.abs(np.asarray(pY.mean())[..., 0] - np.asarray(Y)).mean()
-    assert err < 0.15
+    m.raw_update(X[..., None], Y[..., None], iters=20)
+    # both experts carry mass and recover the two (slope, intercept) pairs
+    assert np.asarray(m.pi.mean()).min() > 0.2
+    wb = np.concatenate(
+        [np.asarray(m.W.weights())[..., 0], np.asarray(m.W.bias())[..., 0]], -1
+    )  # (2 experts, 2)
+    true = np.asarray([[2.0, 5.0], [-2.0, -5.0]])
+    err = min(
+        np.abs(wb - true).max(), np.abs(wb - true[::-1]).max()
+    )
+    assert err < 0.2, wb
+    # posterior assignments (given y) separate the regimes
+    acc = (np.asarray(m.p).argmax(-1) == np.asarray(z[:, 0])).mean()
+    assert max(acc, 1 - acc) > 0.95
 
 
 def test_dmix_linear_transforms_predict():
