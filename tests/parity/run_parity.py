@@ -259,8 +259,93 @@ def parity_mnw(iters=5):
     print("MAXDEV", max(devs))
 
 
+
+
+def copy_mvn_ard(jb, tb):
+    return replace(
+        jb,
+        mu=t2j(tb.mu),
+        invSigma=t2j(tb.invSigma),
+        Sigma=t2j(tb.Sigma),
+        logdetinvSigma=t2j(tb.logdetinvSigma),
+        invSigmamu=t2j(tb.invSigmamu),
+        alpha=copy_gamma(jb.alpha, tb.alpha),
+    )
+
+
+def parity_mnlr(iters=6):
+    """PG-bound MNLR: identical data + inits -> identical beta posteriors."""
+    import transforms as ttr
+    from pyvbmp_tpu.transforms import MultiNomialLogisticRegression as JMNLR
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    ns, p, K = 150, 2, 3
+    mus = np.asarray([[-3.0, 0.0], [3.0, 0.0], [0.0, 3.0]])
+    X = np.concatenate([mus[i] + rs.randn(ns // 3, p) for i in range(K)])
+    y = np.repeat(np.arange(K), ns // 3)
+    Y = np.eye(K)[y]
+
+    tm = ttr.MultiNomialLogisticRegression(K, p, pad_X=True)
+    jm = JMNLR(K, p, pad_X=True)
+    jm.beta = copy_mvn_ard(jm.beta, tm.beta)
+
+    tX, tY = torch.tensor(X), torch.tensor(Y)
+    jX, jY = jnp.asarray(X), jnp.asarray(Y)
+    devs = []
+    for _ in range(iters):
+        tm.raw_update(tX, tY, iters=2)
+        jm.raw_update(jX, jY, iters=2)
+        devs.append(np.abs(np.asarray(jm.beta.mu) - tm.beta.mu.numpy()).max())
+        tlp = tm.log_predict(tX).numpy()
+        jlp = np.asarray(jm.log_predict(jX))
+        devs.append(np.abs(tlp - jlp).max() / max(1.0, np.abs(tlp).max()))
+    print("MAXDEV", max(devs))
+
+
+def parity_dmbd(iters=6):
+    """Flagship: identical inits -> identical DMBD ELBO trajectories."""
+    from models.DynamicMarkovBlanketDiscovery import (
+        DynamicMarkovBlanketDiscovery as TDMBD,
+    )
+    from pyvbmp_tpu.models import DynamicMarkovBlanketDiscovery as JDMBD
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    T, B, n_obs, obs_dim = 30, 3, 4, 2
+    y = rs.randn(T, B, n_obs, obs_dim) * 1.0
+    # add smooth structure
+    y = np.cumsum(y, 0) * 0.1
+
+    tm = TDMBD(obs_shape=(n_obs, obs_dim), role_dims=[1, 1, 1], hidden_dims=[2, 1, 1])
+    jm = JDMBD(obs_shape=(n_obs, obs_dim), role_dims=(1, 1, 1), hidden_dims=(2, 1, 1))
+
+    jm.x0 = copy_niw(jm.x0, tm.x0)
+    jm.A = copy_mng(jm.A, tm.A)
+    jm.obs_model.obs_dist = copy_mnw(jm.obs_model.obs_dist, tm.obs_model.obs_dist)
+    jm.obs_model.transition = copy_dirichlet(
+        jm.obs_model.transition, tm.obs_model.transition
+    )
+    jm.obs_model.initial = copy_dirichlet(jm.obs_model.initial, tm.obs_model.initial)
+
+    ty = torch.tensor(y)
+    jy = jnp.asarray(y)
+    t_elbos, j_elbos = [], []
+    for _ in range(iters):
+        tm.update(ty, None, None, iters=1, latent_iters=1, lr=1.0)
+        t_elbos.append(float(tm.ELBO_last))
+        jm.update(jy, iters=1, latent_iters=1, lr=1.0)
+        j_elbos.append(float(jm.ELBO_last))
+    report("dmbd", t_elbos, j_elbos)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "gmm"
-    {"gmm": parity_gmm, "hmm": parity_hmm, "lds": parity_lds, "mnw": parity_mnw}[
-        which
-    ]()
+    {
+        "gmm": parity_gmm,
+        "hmm": parity_hmm,
+        "lds": parity_lds,
+        "mnw": parity_mnw,
+        "mnlr": parity_mnlr,
+        "dmbd": parity_dmbd,
+    }[which]()
