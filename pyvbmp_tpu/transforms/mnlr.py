@@ -79,6 +79,8 @@ class MultiNomialLogisticRegression:
         return pgb, YmN, EX, EXXT, SEyx, sdims
 
     def raw_update(self, X, Y, iters=2, p=None, lr=1.0, beta=None, verbose=False):
+        if p is None and self.batch_dim == 0 and X.ndim == 2:
+            return self._raw_update_fast(X, Y, iters=iters, lr=lr, beta=beta)
         pgb, YmN, EX, EXXT, SEyx, sdims = self._raw_stats(X, Y, p)
         new_beta = self.beta
         for _ in range(iters):
@@ -88,6 +90,32 @@ class MultiNomialLogisticRegression:
                 SExx = (Ew * EXXT).sum(sdims)
             else:
                 SExx = (Ew * EXXT * p[..., None, None, None]).sum(sdims)
+            new_beta = new_beta.ss_update(SExx, SEyx, lr=lr, beta=beta)
+        self.beta = new_beta
+
+    def _raw_update_fast(self, X, Y, iters=2, lr=1.0, beta=None):
+        """MXU-formulated stats for the unbatched bulk-data case: never
+        materializes the (S, n, p, p) outer-product tensor (the reference's
+        pattern at MNLR.raw_update:54-73 needs ~16 GB on the MNIST bake-off).
+        The per-class scatter Sum_s Ew[s,k] x_s x_s^T runs through the fused
+        Pallas kernel on TPU (ops/weighted_scatter.py)."""
+        from ..ops.weighted_scatter import weighted_outer
+
+        pgb, YmN = _stick_breaking_stats(Y)  # (S, n)
+        EX = self._padded(X)  # (S, p)
+        S, pdim = EX.shape
+        SEyx = (YmN[..., None] * EX[:, None, :]).reshape(S, -1).sum(0)
+        SEyx = SEyx.reshape(self.n, pdim, 1)
+        new_beta = self.beta
+        for _ in range(iters):
+            BBT = new_beta.EXXT()  # (n, p, p)
+            # pgc^2 = einsum('sp,kpq,sq->sk') via one MXU matmul
+            XB = (EX @ BBT.transpose(1, 0, 2).reshape(pdim, -1)).reshape(
+                S, self.n, pdim
+            )
+            pgc = jnp.sqrt((XB * EX[:, None, :]).sum(-1))
+            Ew = pgb / 2.0 / pgc * jnp.tanh(pgc / 2.0)  # (S, n)
+            SExx = weighted_outer(EX, Ew)  # (n, p, p)
             new_beta = new_beta.ss_update(SExx, SEyx, lr=lr, beta=beta)
         self.beta = new_beta
 
