@@ -339,6 +339,120 @@ def parity_dmbd(iters=6):
     report("dmbd", t_elbos, j_elbos)
 
 
+
+
+def copy_normal_gamma(jn, tn):
+    return replace(
+        jn,
+        lambda_mu_0=t2j(tn.lambda_mu_0),
+        lambda_mu=t2j(tn.lambda_mu),
+        mu_0=t2j(tn.mu_0),
+        mu=t2j(tn.mu),
+        gamma=copy_gamma(jn.gamma, tn.gamma),
+    )
+
+
+def parity_gmm_isotropic(iters=8):
+    from models import GaussianMixtureModel as TGMM
+    from pyvbmp_tpu.models import GaussianMixtureModel as JGMM
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    X = np.concatenate(
+        [rs.randn(80, 2) + np.array(m) for m in [(-4, 0), (4, 0), (0, 4)]], 0
+    )
+    tg = TGMM(5, 2, isotropic=True)
+    jg = JGMM(5, 2, isotropic=True)
+    jg.pi = copy_dirichlet(jg.pi, tg.pi)
+    jg.dist = copy_normal_gamma(jg.dist, tg.dist)
+    tX, jX = torch.tensor(X), jnp.asarray(X)
+    t_elbos, j_elbos = [], []
+    for _ in range(iters):
+        tg.update(tX, iters=1)
+        t_elbos.append(float(tg.ELBO().sum()))
+        jg.update(jX, iters=1)
+        j_elbos.append(float(jg.ELBO().sum()))
+    report("gmm_isotropic", t_elbos, j_elbos)
+
+
+def parity_arhmm(iters=6):
+    from models.ARHMM import ARHMM as TARHMM
+    from pyvbmp_tpu.models import ARHMM as JARHMM
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    T, B = 40, 4
+    A1 = np.eye(2) * 0.9
+    A2 = np.asarray([[0.0, -0.9], [0.9, 0.0]])
+    x = rs.randn(B, 2)
+    Xs, Ys = [], []
+    for t in range(T):
+        A = A1 if (t // 10) % 2 == 0 else A2
+        ynew = x @ A.T + 0.05 * rs.randn(B, 2)
+        Xs.append(x)
+        Ys.append(ynew)
+        x = ynew
+    X = np.stack(Xs)[..., None]
+    Y = np.stack(Ys)[..., None]
+
+    tm = TARHMM(2, 2, 2)
+    jm = JARHMM(2, 2, 2)
+    jm.obs_dist = copy_mnw(jm.obs_dist, tm.obs_dist)
+    jm.transition = copy_dirichlet(jm.transition, tm.transition)
+    jm.initial = copy_dirichlet(jm.initial, tm.initial)
+
+    tX = (torch.tensor(X).unsqueeze(-3), torch.tensor(Y).unsqueeze(-3))
+    jX = (jnp.asarray(X)[..., None, :, :], jnp.asarray(Y)[..., None, :, :])
+    t_elbos, j_elbos = [], []
+    for _ in range(iters):
+        tm.update(tX, iters=1)
+        t_elbos.append(float(tm.ELBO().sum()))
+        jm.update(jX, iters=1)
+        j_elbos.append(float(jnp.sum(jm.ELBO())))
+    report("arhmm", t_elbos, j_elbos)
+
+
+def parity_mixlds(iters=5):
+    from models.MixtureofLinearDynamicalSystems import (
+        MixtureofLinearDynamicalSystems as TMIX,
+    )
+    from pyvbmp_tpu.models import MixtureofLinearDynamicalSystems as JMIX
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(3)
+    T, o = 30, 3
+
+    def rollout(A, C, n):
+        x = rs.randn(n, 2)
+        ys = []
+        for t in range(T):
+            x = x @ A.T + 0.05 * rs.randn(n, 2)
+            ys.append(x @ C.T + 0.1 * rs.randn(n, o))
+        return np.stack(ys)
+
+    A1 = np.asarray([[np.cos(0.3), -np.sin(0.3)], [np.sin(0.3), np.cos(0.3)]]) * 0.99
+    A2 = np.eye(2) * 0.95
+    y = np.concatenate([rollout(A1, rs.randn(o, 2), 2), rollout(A2, rs.randn(o, 2), 2)], 1)
+
+    tm = TMIX(2, (o,), 2, 0, 0)
+    jm = JMIX(2, (o,), 2, 0, 0)
+    jm.pi = copy_dirichlet(jm.pi, tm.pi)
+    jm.lds.x0 = copy_niw(jm.lds.x0, tm.lds.x0)
+    jm.lds.A = copy_mng(jm.lds.A, tm.lds.A)
+    jm.lds.obs_model = copy_mnw(jm.lds.obs_model, tm.lds.obs_model)
+
+    ty = torch.tensor(y)
+    jy = jnp.asarray(y)
+    t_elbos, j_elbos = [], []
+    for _ in range(iters):
+        tm.update(ty, None, None, iters=1)
+        # reference MixLDS has no stored ELBO; recompute its in-loop value
+        t_elbos.append(float(tm.logZ.sum() - tm.KLqprior()))
+        jm.update(jy, iters=1)
+        j_elbos.append(float(jm.logZ.sum() - jm.KLqprior()))
+    report("mixlds", t_elbos, j_elbos)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "gmm"
     {
@@ -348,4 +462,7 @@ if __name__ == "__main__":
         "mnw": parity_mnw,
         "mnlr": parity_mnlr,
         "dmbd": parity_dmbd,
+        "gmm_isotropic": parity_gmm_isotropic,
+        "arhmm": parity_arhmm,
+        "mixlds": parity_mixlds,
     }[which]()
