@@ -34,3 +34,5 @@ __all__ = [
     "NLRegression_Multinomial",
     "MultiLinearNormalWishart",
 ]
+from .bayesian_transformers import GenerativeBayesianTransformer, FocusedBayesianTransformer
+__all__ += ["GenerativeBayesianTransformer", "FocusedBayesianTransformer"]

@@ -1,0 +1,223 @@
+"""Bayesian "transformer" stacks: observations soft-assigned to
+latents/roles via mixtures of linear maps (working counterparts of reference
+transforms/wip_GenerativeBayesianTransformer.py and
+wip_FocusedBayesianTransformer.py; both wip files carry stale constructor
+signatures in the reference tree and are exercised only by
+tests/test_transformers.py)."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..dists import Dirichlet
+from ..dists.delta import Delta
+from ..dists.mvn_vector_format import MultivariateNormal_vector_format as MVN_vf
+from ..utils import math as um
+from ..utils.jaxutils import sum_leading
+from .dmix_linear_transforms import dMixtureofLinearTransforms
+from .matrix_normal_wishart import MatrixNormalWishart
+
+
+class GenerativeBayesianTransformer:
+    """p(y_i | x_z, role_i, z_i): observations cluster into mixture_dim
+    latents, each observation playing one of role_dim roles
+    (reference wip_GenerativeBayesianTransformer)."""
+
+    def __init__(self, mixture_dim, role_dim, obs_dim, hidden_dim, batch_shape=(),
+                 pad_X=False, key=None):
+        from ..utils.rng import key_or_next
+        import jax.random as jr
+
+        key = key_or_next(key)
+        self.obs_dim = obs_dim
+        self.batch_shape = tuple(batch_shape)
+        self.batch_dim = len(batch_shape)
+        self.event_dim = 3
+        self.role_dim = role_dim
+        self.hidden_dim = hidden_dim
+        self.mixture_dim = mixture_dim
+
+        self.A = MatrixNormalWishart.create(
+            (obs_dim, hidden_dim),
+            batch_shape=(mixture_dim, role_dim),
+            scale=1.0 / (role_dim * mixture_dim),
+            pad_X=pad_X,
+            key=key,
+        )
+        self.pi_role = Dirichlet.create((role_dim,), (mixture_dim,), key=jr.fold_in(key, 1))
+        self.pi_mix = Dirichlet.create((mixture_dim,), key=jr.fold_in(key, 2))
+        self.p = None
+        self.pX = None
+        self.ELBO_last = -jnp.inf
+        self.ELBO_save = []
+
+    def _init_pX(self):
+        return MVN_vf(
+            invSigma=jnp.eye(self.hidden_dim),
+            invSigmamu=jnp.zeros((self.hidden_dim, 1)),
+        )
+
+    def update_assignments(self, Y):
+        if self.pX is None:
+            self.pX = self._init_pX()
+        Yv = Y[..., None][..., None, None, :, :]  # obs x 1(mix) x 1(role) x d x 1
+        log_p = (
+            self.A.Elog_like_given_pX_pY(self.pX, Delta(Yv))
+            + self.pi_role.ElogX()
+            + self.pi_mix.ElogX()[..., None]
+        )
+        logZ = um.stable_logsumexp(log_p, (-1, -2), keepdims=True)
+        self.p = jnp.exp(log_p - logZ)
+        self.NA = sum_leading(self.p.sum(-3), 2)
+        return logZ[..., 0, 0]
+
+    def update_latents(self, Y):
+        """Role/mixture-averaged latent messages, one latent per mixture
+        component per sample (reference wip_GBT.update_latents:52-62)."""
+        if self.p is None:
+            self.update_assignments(Y)
+        Yv = Y[..., None][..., None, None, :, :]
+        invSigma, invSigmamu, Res = self.A.Elog_like_X(Yv)
+        pv = self.p[..., None, None]
+        # sum over roles (-3) and observations (-5), keep the mixture axis
+        invSigma = (invSigma * pv).sum((-3, -5), keepdims=True) + jnp.eye(self.hidden_dim)
+        invSigmamu = (invSigmamu * pv).sum((-3, -5), keepdims=True)
+        Res = (Res * self.p).sum((-3, -1), keepdims=True)
+        self.pX = MVN_vf(invSigma=invSigma, invSigmamu=invSigmamu)
+        return Res - self.pX.Res()
+
+    def update_parms(self, Y, lr=1.0):
+        Yv = Y[..., None][..., None, None, :, :]
+        self.A = self.A.update(self.pX, Delta(Yv), p=self.p, lr=lr)
+        self.pi_role = self.pi_role.raw_update(self.NA, lr=lr)
+        self.pi_mix = self.pi_mix.raw_update(self.NA.sum(-1), lr=lr)
+
+    def raw_update(self, Y, iters=1, latent_iters=1, lr=1.0, verbose=False):
+        for _ in range(iters):
+            ELBO = 0.0
+            for _ in range(latent_iters):
+                self.update_assignments(Y)
+                ELBO = self.update_latents(Y).sum()
+            plogp = jnp.where(self.p > 0, self.p * jnp.log(jnp.where(self.p > 0, self.p, 1.0)), 0.0)
+            ELBO = (
+                ELBO
+                - plogp.sum()
+                + (self.NA * (self.pi_mix.ElogX()[..., None] + self.pi_role.ElogX())).sum()
+                - self.KLqprior()
+            )
+            self.update_parms(Y, lr=lr)
+            if verbose:
+                print(
+                    "GBT Percent Change in ELBO: ",
+                    (ELBO - self.ELBO_last) / jnp.abs(self.ELBO_last),
+                )
+            self.ELBO_last = ELBO
+            self.ELBO_save.append(float(ELBO))
+
+    def KLqprior(self):
+        return (
+            self.A.KLqprior().sum((-1, -2))
+            + self.pi_mix.KLqprior()
+            + self.pi_role.KLqprior().sum(-1)
+        )
+
+    def Elog_like(self, Y):
+        return self.update_latents(Y).sum(-1)
+
+    def postdict(self, Y, iters=0):
+        for _ in range(iters):
+            self.update_assignments(Y)
+            self.update_latents(Y)
+        return self.pX
+
+
+class FocusedBayesianTransformer:
+    """Roles selected by the latent: a Dirichlet mixture over
+    dMixtureofLinearTransforms heads (reference wip_FocusedBayesianTransformer)."""
+
+    def __init__(self, mixture_dim, role_dim, obs_dim, hidden_dim, batch_shape=(),
+                 pad_X=False, key=None):
+        from ..utils.rng import key_or_next
+        import jax.random as jr
+
+        key = key_or_next(key)
+        self.obs_dim = obs_dim
+        self.batch_shape = tuple(batch_shape)
+        self.batch_dim = len(batch_shape)
+        self.event_dim = 3
+        self.role_dim = role_dim
+        self.hidden_dim = hidden_dim
+        self.mixture_dim = mixture_dim
+        self.W = dMixtureofLinearTransforms(
+            obs_dim, hidden_dim, role_dim, batch_shape=(mixture_dim,), pad_X=pad_X,
+            key=key,
+        )
+        self.pi = Dirichlet.create((mixture_dim,), key=jr.fold_in(key, 1))
+        self.p = None
+        self.pX = None
+        self.ELBO_last = -jnp.inf
+        self.ELBO_save = []
+
+    def _init_pX(self):
+        return MVN_vf(
+            invSigma=jnp.broadcast_to(
+                jnp.eye(self.hidden_dim), (1, self.mixture_dim, self.hidden_dim, self.hidden_dim)
+            ),
+            invSigmamu=jnp.zeros((1, self.mixture_dim, self.hidden_dim, 1)),
+        )
+
+    def update_assignments(self, Y):
+        if self.pX is None:
+            self.pX = self._init_pX()
+        pY = MVN_vf(
+            mu=Y[..., None][..., None, :, :],
+            Sigma=1e-8 * jnp.eye(self.obs_dim),
+            invSigma=1e8 * jnp.eye(self.obs_dim),
+            invSigmamu=1e8 * Y[..., None][..., None, :, :],
+        )
+        log_p = self.W.Elog_like_given_pX_pY(self.pX, pY) + self.pi.ElogX()
+        logZ = um.stable_logsumexp(log_p, -1, keepdims=True)
+        self.p = jnp.exp(log_p - logZ)
+        self.NA = sum_leading(self.p.sum(-2), 1)
+
+    def update_latents(self, Y):
+        if self.p is None:
+            self.update_assignments(Y)
+        pX, logZ, _ = self.W.postdict(Y[..., None, :])
+        pv = self.p[..., None, None]
+        invSigma = (pX.EinvSigma() * pv).sum(-4, keepdims=True) + jnp.eye(self.hidden_dim)
+        invSigmamu = (pX.EinvSigmamu() * pv).sum(-4, keepdims=True)
+        self.pX = MVN_vf(invSigma=invSigma, invSigmamu=invSigmamu)
+        Res = (logZ[..., None] * self.p).sum(-2, keepdims=True) if logZ.ndim else logZ
+        return Res - self.pX.Res()
+
+    def update_parms(self, Y, lr=1.0):
+        pY = MVN_vf(
+            mu=Y[..., None][..., None, :, :],
+            Sigma=1e-8 * jnp.eye(self.obs_dim),
+            invSigma=1e8 * jnp.eye(self.obs_dim),
+            invSigmamu=1e8 * Y[..., None][..., None, :, :],
+        )
+        self.W.update(self.pX, pY, p=self.p, lr=lr)
+        self.pi = self.pi.raw_update(self.NA, lr=lr)
+
+    def raw_update(self, Y, iters=1, lr=1.0, verbose=False):
+        for _ in range(iters):
+            self.update_assignments(Y)
+            ELBO = jnp.sum(self.update_latents(Y))
+            plogp = jnp.where(self.p > 0, self.p * jnp.log(jnp.where(self.p > 0, self.p, 1.0)), 0.0)
+            ELBO = ELBO - plogp.sum() + (self.NA * self.pi.ElogX()).sum() - self.KLqprior()
+            if verbose:
+                print(
+                    "Focused Transformer Percent Change in ELBO: ",
+                    (ELBO - self.ELBO_last) / jnp.abs(self.ELBO_last) * 100,
+                )
+            self.ELBO_last = ELBO
+            self.ELBO_save.append(float(ELBO))
+            self.update_parms(Y, lr=lr)
+
+    def Elog_like(self, Y):
+        return self.update_latents(Y).sum(-1)
+
+    def KLqprior(self):
+        return self.W.KLqprior().sum(-1) + self.pi.KLqprior()
