@@ -1,0 +1,124 @@
+"""Batched MixLDS benchmark (BASELINE.json north star #2): K LDS systems over
+a large trajectory batch.  Measures torch-CPU reference and ours, appends to
+reference_times.json / prints both.
+
+Run: python benchmarks/mixlds_bench.py {ref|ours}
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/reference")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+CFG = dict(T=100, batch=200, obs_dim=3, hidden=2, num_systems=4, iters=5)
+
+
+def make_data(cfg, seed=3):
+    rs = np.random.RandomState(seed)
+    T, o, h = cfg["T"], cfg["obs_dim"], cfg["hidden"]
+
+    def rollout(theta, n):
+        A = np.asarray(
+            [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+        ) * 0.98
+        C = rs.randn(o, h)
+        x = rs.randn(n, h)
+        ys = []
+        for t in range(T):
+            x = x @ A.T + 0.05 * rs.randn(n, h)
+            ys.append(x @ C.T + 0.1 * rs.randn(n, o))
+        return np.stack(ys)
+
+    per = cfg["batch"] // cfg["num_systems"]
+    y = np.concatenate(
+        [rollout(0.1 + 0.15 * k, per) for k in range(cfg["num_systems"])], 1
+    )
+    return y.astype(np.float32)
+
+
+def bench_ref(cfg, y):
+    import torch
+    from models.MixtureofLinearDynamicalSystems import (
+        MixtureofLinearDynamicalSystems,
+    )
+
+    torch.manual_seed(0)
+    ty = torch.tensor(y, dtype=torch.get_default_dtype())
+    m = MixtureofLinearDynamicalSystems(
+        cfg["num_systems"], (cfg["obs_dim"],), cfg["hidden"], 0, 0
+    )
+    m.update(ty, None, None, iters=1)  # warm
+    t0 = time.perf_counter()
+    m.update(ty, None, None, iters=cfg["iters"])
+    dt = time.perf_counter() - t0
+    return cfg["iters"] / dt
+
+
+def bench_ours(cfg, y):
+    import jax
+    import jax.numpy as jnp
+    from pyvbmp_tpu.models import MixtureofLinearDynamicalSystems
+    from pyvbmp_tpu.utils import rng
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    rng.seed(0)
+    m = MixtureofLinearDynamicalSystems(
+        cfg["num_systems"], (cfg["obs_dim"],), cfg["hidden"], 0, 0
+    )
+    m.lds.parallel_scan = True
+    m.lds.cross_cov_compat = False
+    jy = jnp.asarray(y)
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        m.update(jy, iters=cfg["iters"])
+        jax.block_until_ready(m.logZ)
+        dt = time.perf_counter() - t0
+        print('{"rep": %d, "seconds": %.3f}' % (rep, dt), file=sys.stderr)
+        if rep > 0:
+            best = min(best, dt)
+    return cfg["iters"] / best
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "ours"
+    y = make_data(CFG)
+    key = "mixlds_T%d_b%d_K%d" % (CFG["T"], CFG["batch"], CFG["num_systems"])
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "reference_times.json"
+    )
+    rec = json.load(open(out_path)) if os.path.exists(out_path) else {}
+    if which == "ref":
+        ips = bench_ref(CFG, y)
+        rec[key] = {
+            "iters_per_sec": ips,
+            "config": CFG,
+            "hardware": "torch-CPU (this machine)",
+        }
+        json.dump(rec, open(out_path, "w"), indent=1)
+        print(json.dumps(rec[key]))
+    else:
+        ips = bench_ours(CFG, y)
+        base = rec.get(key, {}).get("iters_per_sec")
+        print(
+            json.dumps(
+                {
+                    "metric": "MixLDS VB-EM iters/sec (T=%d, batch=%d, K=%d)"
+                    % (CFG["T"], CFG["batch"], CFG["num_systems"]),
+                    "value": round(ips, 3),
+                    "vs_baseline": round(ips / base, 2) if base else None,
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

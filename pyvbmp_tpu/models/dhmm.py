@@ -68,7 +68,8 @@ def driven_forward_backward(trans_logits, init_logits, obs_logits, ptemp=1.0):
 
 
 class dHMM:
-    def __init__(self, obs_dist, p, transition_mask=None, ptemp=1.0, key=None):
+    def __init__(self, obs_dist, p, transition_mask=None, ptemp=1.0,
+                 parallel_scan=False, key=None):
         from ..utils.rng import key_or_next
         import jax.random as jr
 
@@ -80,6 +81,7 @@ class dHMM:
         self.batch_shape = tuple(obs_dist.batch_shape[:-1])
         self.batch_dim = len(self.batch_shape)
         self.ptemp = ptemp
+        self.parallel_scan = parallel_scan
         key = key_or_next(key)
         self.transition = MultiNomialLogisticRegression(
             n, p, batch_shape=self.batch_shape + (n,), pad_X=True, key=key
@@ -98,8 +100,11 @@ class dHMM:
         return self.transition.log_predict(X)
 
     def raw_update_states(self, X, Y):
-        SEzz, SEz0, logZ = None, None, None
-        self.p, SEzz, SEz0, logZ = driven_forward_backward(
+        if self.parallel_scan:
+            from ..ops.parallel_hmm import driven_forward_backward_parallel as fb
+        else:
+            fb = driven_forward_backward
+        self.p, SEzz, SEz0, logZ = fb(
             self.transition_logits(X),
             self.initial.loggeomean(),
             self.obs_logits(Y),

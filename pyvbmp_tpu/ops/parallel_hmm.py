@@ -72,3 +72,40 @@ def forward_backward_parallel(trans_logits, init_logits, obs_logits, ptemp=1.0):
     p = jnp.exp((smoothed - smoothed.max(-1, keepdims=True)) / ptemp)
     p = p / p.sum(-1, keepdims=True)
     return p, SEzz, SEz0, logZ
+
+
+def driven_forward_backward_parallel(trans_logits, init_logits, obs_logits, ptemp=1.0):
+    """Input-driven variant: per-time transition logits (T,)+...+(K,K) and
+    per-time pairwise statistics (reference models/dHMM.py semantics), with
+    the same log-depth scans.  Returns (p, SEzz per-time, SEz0, logZ)."""
+    T = obs_logits.shape[0]
+    M = trans_logits + obs_logits[:, ..., None, :]
+
+    prefix = jax.lax.associative_scan(_logmatmul, M, axis=0)
+    alpha = um.stable_logsumexp(init_logits[..., :, None] + prefix, -2)
+    logZ = um.stable_logsumexp(alpha[-1], -1, keepdims=True)
+    alpha = alpha - logZ
+    logZ = logZ[..., 0]
+
+    suffix = jax.lax.associative_scan(
+        lambda a, b: _logmatmul(b, a), M, axis=0, reverse=True
+    )
+    beta = um.stable_logsumexp(suffix, -1)
+    beta_t = jnp.concatenate(
+        [beta[1:], jnp.zeros((1,) + beta.shape[1:], beta.dtype)], 0
+    )
+
+    smoothed = alpha + beta_t
+    smoothed = smoothed - um.stable_logsumexp(smoothed, -1, keepdims=True)
+
+    alpha_prev = jnp.concatenate(
+        [jnp.broadcast_to(init_logits, alpha.shape[1:])[None], alpha[:-1]], 0
+    )
+    xi = alpha_prev[..., :, None] + M + beta_t[..., None, :]
+    xi = jnp.exp(xi - um.stable_logsumexp(xi, (-1, -2), keepdims=True))
+    SEz0 = xi[0].sum(-1)
+    SEzz = xi  # kept per-time: the MNLR transition M-step needs SEzz[t]
+
+    p = jnp.exp((smoothed - smoothed.max(-1, keepdims=True)) / ptemp)
+    p = p / p.sum(-1, keepdims=True)
+    return p, SEzz, SEz0, logZ

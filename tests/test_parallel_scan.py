@@ -104,3 +104,20 @@ def test_dmbd_parallel_scan_runs():
     )
     m.update(data, iters=3)
     assert np.isfinite(m.ELBO_save).all()
+
+
+def test_driven_hmm_parallel_equals_sequential():
+    from pyvbmp_tpu.models.dhmm import driven_forward_backward
+    from pyvbmp_tpu.ops.parallel_hmm import driven_forward_backward_parallel
+
+    rs = np.random.RandomState(5)
+    T, B, K = 20, 3, 4
+    trans = jnp.asarray(np.log(rs.dirichlet(np.ones(K), (T, B, K))), jnp.float32)
+    init = jnp.asarray(np.log(rs.dirichlet(np.ones(K))), jnp.float32)
+    obs = jnp.asarray(rs.randn(T, B, K), jnp.float32)
+    p1, SEzz1, SEz01, logZ1 = driven_forward_backward(trans, init, obs)
+    p2, SEzz2, SEz02, logZ2 = driven_forward_backward_parallel(trans, init, obs)
+    np.testing.assert_allclose(p1, p2, atol=3e-5)
+    np.testing.assert_allclose(SEzz1, SEzz2, atol=3e-5)
+    np.testing.assert_allclose(SEz01, SEz02, atol=3e-5)
+    np.testing.assert_allclose(logZ1, logZ2, atol=1e-4, rtol=1e-5)
