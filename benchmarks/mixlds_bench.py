@@ -14,7 +14,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import numpy as np
 
-CFG = dict(T=100, batch=200, obs_dim=3, hidden=2, num_systems=4, iters=5)
+import os as _os
+_B = int(_os.environ.get("MIXLDS_BATCH", "200"))
+CFG = dict(T=100, batch=_B, obs_dim=3, hidden=2, num_systems=4, iters=5)
 
 
 def make_data(cfg, seed=3):
