@@ -467,6 +467,24 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
             self.ELBO_last = float(e)
             self.ELBO_save.append(float(e))
 
+    def Elog_like(self, y, u=None, r=None, latent_iters=1, lr=1.0):
+        """Data likelihood bound: role+latent E-steps from scratch, returning
+        logZ minus the role-assignment entropy (reference DMBD.Elog_like:176-183)."""
+        y, u, r = self.reshape_inputs(y, u, r)
+        px = self._init_px(r)
+        om = self.obs_model
+        transition, initial, B = om.transition, om.initial, om.obs_dist
+        p = None
+        for _ in range(latent_iters):
+            p, SEzz, SEz0, NA = self._role_estep(transition, initial, B, px, y, r)
+            parms = self._latent_parms(self.A)
+            like = self.log_likelihood_function_role(B, p, y, r)
+            px_s, Sc, Sx0c, Sx0, mu0, logZ = self._smoother(parms, self.x0, like, u)
+            ss = self._latent_suffstats(px_s, Sc, Sx0c, Sx0, mu0, y, u, r, logZ)
+            px = px_s
+        ent = jnp.where(p > 1e-8, p * jnp.log(jnp.where(p > 1e-8, p, 1.0)), 0.0)
+        return ss["logZ"] - ent.sum(0).sum((-1, -2))
+
     # ------------------------------------------------------------ assignments
     def assignment_pr(self):
         p_role = self.obs_model.assignment_pr()
