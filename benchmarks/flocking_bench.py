@@ -1,0 +1,99 @@
+"""North-star workload: DMBD on flocking data with multiple objects
+(BASELINE.json: "DMBD on the Flocking sim ... >=25x faster per VB-EM
+iteration on v5e-8").  Reference examples/Flocking_example.py uses 6 objects
+over bird tracks; the data file doesn't ship, so the boids simulator
+(simulations/flocking.py) generates the workload for both frameworks.
+
+Run: python benchmarks/flocking_bench.py {ref|ours}
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/reference")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+CFG = dict(T=150, batch=20, n_birds=12, obs_dim=4, role_dims=(2, 2, 2),
+           hidden_dims=(2, 2, 2), number_of_objects=3, iters=5)
+
+
+def make_data(cfg):
+    import jax
+    from pyvbmp_tpu.simulations import Flocking
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    sim = Flocking(n_birds=cfg["n_birds"], Tmax=cfg["T"], batch_size=cfg["batch"])
+    return np.asarray(sim.simulate(jax.random.key(0)), np.float32)
+
+
+def bench_ref(cfg, y):
+    import torch
+    from models.DynamicMarkovBlanketDiscovery import DynamicMarkovBlanketDiscovery
+
+    torch.manual_seed(0)
+    ty = torch.tensor(y, dtype=torch.get_default_dtype())
+    m = DynamicMarkovBlanketDiscovery(
+        obs_shape=(cfg["n_birds"], cfg["obs_dim"]),
+        role_dims=list(cfg["role_dims"]),
+        hidden_dims=list(cfg["hidden_dims"]),
+        number_of_objects=cfg["number_of_objects"],
+    )
+    m.update(ty, None, None, iters=1, latent_iters=1, lr=1.0)
+    t0 = time.perf_counter()
+    m.update(ty, None, None, iters=cfg["iters"], latent_iters=1, lr=1.0)
+    return cfg["iters"] / (time.perf_counter() - t0)
+
+
+def bench_ours(cfg, y):
+    import jax
+    import jax.numpy as jnp
+    from pyvbmp_tpu.models import DynamicMarkovBlanketDiscovery
+    from pyvbmp_tpu.utils import rng
+
+    rng.seed(0)
+    m = DynamicMarkovBlanketDiscovery(
+        obs_shape=(cfg["n_birds"], cfg["obs_dim"]),
+        role_dims=cfg["role_dims"],
+        hidden_dims=cfg["hidden_dims"],
+        number_of_objects=cfg["number_of_objects"],
+        parallel_scan=True,
+    )
+    jy = jnp.asarray(y)
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        m.update(jy, iters=cfg["iters"])
+        dt = time.perf_counter() - t0
+        print('{"rep": %d, "seconds": %.3f}' % (rep, dt), file=sys.stderr)
+        if rep > 0:
+            best = min(best, dt)
+    return cfg["iters"] / best
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "ours"
+    y = make_data(CFG)
+    key = "dmbd_flocking_T%d_b%d_obj%d" % (CFG["T"], CFG["batch"], CFG["number_of_objects"])
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "reference_times.json")
+    rec = json.load(open(out_path)) if os.path.exists(out_path) else {}
+    if which == "ref":
+        ips = bench_ref(CFG, y)
+        rec[key] = {"iters_per_sec": ips, "config": CFG, "hardware": "torch-CPU (this machine)"}
+        json.dump(rec, open(out_path, "w"), indent=1)
+        print(json.dumps(rec[key]))
+    else:
+        ips = bench_ours(CFG, y)
+        base = rec.get(key, {}).get("iters_per_sec")
+        print(json.dumps({
+            "metric": "DMBD-on-Flocking VB-EM iters/sec (T=%d, batch=%d, %d objects)"
+            % (CFG["T"], CFG["batch"], CFG["number_of_objects"]),
+            "value": round(ips, 3),
+            "vs_baseline": round(ips / base, 2) if base else None,
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,5 +4,6 @@ from .newtons_cradle import NewtonsCradle
 from .flame import FlameSimulator
 from .forager import Forager
 from .cartthingy import cartthingy
+from .flocking import Flocking
 
-__all__ = ["Lorenz", "NewtonsCradle", "FlameSimulator", "Forager", "cartthingy"]
+__all__ = ["Lorenz", "NewtonsCradle", "FlameSimulator", "Forager", "cartthingy", "Flocking"]
