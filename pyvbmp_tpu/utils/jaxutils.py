@@ -32,11 +32,38 @@ def pytree_dataclass(cls=None, *, meta_fields: tuple = ()):
         jax.tree_util.register_dataclass(
             c, data_fields=data_fields, meta_fields=tuple(meta_fields)
         )
+        # constructors must produce strong-typed leaves so the model pytree's
+        # abstract values stay identical across updates (see strongify)
+        create = c.__dict__.get("create")
+        if create is not None and not getattr(
+            create.__func__, "_strongified", False
+        ):
+            orig = create.__func__
+
+            def _create(cls, *a, **k):
+                return strongify(orig(cls, *a, **k))
+
+            _create._strongified = True
+            _create.__doc__ = orig.__doc__
+            c.create = classmethod(_create)
         return c
 
     if cls is None:
         return wrap
     return wrap(cls)
+
+
+def strongify(node):
+    """Strip weak_type from every array leaf (same dtype).
+
+    Prior fields built from python scalars are weak-typed; after one
+    ss_update the corresponding posteriors become strong, which changes the
+    abstract values of the model pytree and forces one spurious re-trace of
+    the fused VB step (minutes of XLA compile on remote-attached TPUs).
+    Calling this at the end of every ``create`` keeps avals stable."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(a.dtype) if isinstance(a, jax.Array) else a, node
+    )
 
 
 def replace(node, **changes):
