@@ -1,6 +1,7 @@
 """Exponential-family conjugate nodes (counterpart of reference dists/,
 exported set mirrors /root/reference/dists/__init__.py:1-18)."""
 from .dirichlet import Dirichlet
+from .hierarchical_dirichlet import Hierarchical_Dirichlet
 from .gamma import Gamma
 from .wishart import Wishart, WishartEigh, WishartUnitDet, WishartUnitTrace
 from .diagonal_wishart import DiagonalWishart, DiagonalWishartUnitTrace
@@ -19,6 +20,7 @@ from .niw_vector_format import (
 
 __all__ = [
     "Dirichlet",
+    "Hierarchical_Dirichlet",
     "Gamma",
     "Wishart",
     "WishartEigh",

@@ -453,6 +453,35 @@ def parity_mixlds(iters=5):
     report("mixlds", t_elbos, j_elbos)
 
 
+def parity_hdir(iters=6):
+    """Hierarchical_Dirichlet: ElogX + KLqprior trajectory vs reference
+    (reference dists/Hierarchical_Dirichlet.py)."""
+    from dists import Hierarchical_Dirichlet as THD
+    from pyvbmp_tpu.dists import Hierarchical_Dirichlet as JHD
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    X = rs.rand(50, 3, 4, 2)
+
+    thd = THD(event_shape=(3, 4, 2))
+    jhd = JHD.create(event_shape=(3, 4, 2))
+    jhd = replace(
+        jhd, dists=[copy_dirichlet(jd, td) for jd, td in zip(jhd.dists, thd.dists)]
+    )
+
+    tX = torch.tensor(X)
+    jX = jnp.asarray(X)
+    refs, ours = [], []
+    for _ in range(iters):
+        thd.raw_update(tX, lr=0.7)
+        jhd = jhd.raw_update(jX, lr=0.7)
+        r = (thd.loggeomean().sum() - thd.KLqprior()).item()
+        o = float(jhd.loggeomean().sum() - jhd.KLqprior())
+        refs.append(r)
+        ours.append(o)
+    report("hdir", refs, ours)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "gmm"
     {
@@ -465,4 +494,5 @@ if __name__ == "__main__":
         "gmm_isotropic": parity_gmm_isotropic,
         "arhmm": parity_arhmm,
         "mixlds": parity_mixlds,
+        "hdir": parity_hdir,
     }[which]()

@@ -213,3 +213,40 @@ def test_poisson_mixture():
     pmm.update(X, iters=10)
     means = np.sort(np.asarray(pmm.means()).mean(-1))
     assert abs(means[0] - 2.0) < 1.0 and abs(means[-1] - 9.0) < 1.5
+
+
+def test_hierarchical_dirichlet_chain_recovery():
+    from pyvbmp_tpu.dists import Hierarchical_Dirichlet
+
+    # true chain p(x0)p(x1|x0): counts drawn from a known factorized joint
+    rs = np.random.RandomState(0)
+    p0 = np.array([0.7, 0.3])
+    p10 = np.array([[0.9, 0.1], [0.2, 0.8]])  # p(x1|x0)
+    joint = p0[:, None] * p10  # (2, 2)
+    counts = rs.multinomial(20000, joint.reshape(-1)).reshape(2, 2)
+
+    hd = Hierarchical_Dirichlet.create(event_shape=(2, 2))
+    assert hd.dists[0].alpha.shape == (2, 1)
+    assert hd.dists[1].alpha.shape == (2, 2)
+    hd2 = hd.raw_update(jnp.asarray(counts, jnp.float32)[None])
+    # joint mean matches the empirical joint; event sums to 1
+    np.testing.assert_allclose(np.asarray(hd2.mean()).sum(), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(hd2.mean()), joint, atol=0.02)
+    # ElogX finite, KL scalar and non-negative
+    assert np.isfinite(np.asarray(hd2.ElogX())).all()
+    kl = np.asarray(hd2.KLqprior())
+    assert kl.shape == () and kl >= -1e-5
+
+
+def test_hierarchical_dirichlet_three_deep_shapes():
+    from pyvbmp_tpu.dists import Hierarchical_Dirichlet
+
+    hd = Hierarchical_Dirichlet.create(event_shape=(3, 4, 2), batch_shape=(5,))
+    assert hd.dists[0].alpha.shape == (5, 3, 1, 1)
+    assert hd.dists[1].alpha.shape == (5, 3, 4, 1)
+    assert hd.dists[2].alpha.shape == (5, 1, 4, 2)
+    X = jnp.abs(jax.random.normal(jax.random.key(3), (10, 5, 3, 4, 2)))
+    hd2 = hd.raw_update(X)
+    assert hd2.mean().shape == (5, 3, 4, 2)
+    np.testing.assert_allclose(hd2.mean().sum((-1, -2, -3)), 1.0, rtol=1e-5)
+    assert hd2.KLqprior().shape == (5,)
