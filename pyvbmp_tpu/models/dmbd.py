@@ -415,7 +415,10 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
 
     def update(self, y, u=None, r=None, iters=1, latent_iters=1, lr=1.0, verbose=False):
         y, u, r = self.reshape_inputs(y, u, r)
-        key = ("multi", latent_iters, iters)
+        # obs_model.ptemp is read through ``self`` at trace time (baked into
+        # the compiled sweep) — key on it so ptemp annealing between update
+        # calls (reference Artificial_Life_example.py:54-57) retraces.
+        key = ("multi", latent_iters, iters, self.obs_model.ptemp, self.parallel_scan)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
                 self._dmbd_multi, static_argnames=("latent_iters", "iters")

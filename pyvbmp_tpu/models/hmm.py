@@ -160,9 +160,14 @@ class HMM:
         return transition, initial, obs_dist, p, NA, logZ, ELBO
 
     def _jitted(self, name, fn, _prejitted=False, **jitkw):
-        if name not in self._jit_cache:
-            self._jit_cache[name] = fn if _prejitted else jax.jit(fn, **jitkw)
-        return self._jit_cache[name]
+        # ptemp / parallel_scan are read through ``self`` at trace time, so
+        # they're baked into the compiled function — key the cache on them or
+        # a user mutating them between updates (e.g. ptemp annealing) would
+        # silently keep the stale trace.
+        key = (name, getattr(self, "ptemp", None), getattr(self, "parallel_scan", None))
+        if key not in self._jit_cache:
+            self._jit_cache[key] = fn if _prejitted else jax.jit(fn, **jitkw)
+        return self._jit_cache[key]
 
     # -- reference-API methods ---------------------------------------------------
     def obs_logits(self, X):

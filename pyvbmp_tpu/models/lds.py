@@ -541,9 +541,12 @@ class LinearDynamicalSystems:
         return KL + obs_model.KLqprior()
 
     def _jitted(self, name, fn, _prejitted=False, **kw):
-        if name not in self._jit_cache:
-            self._jit_cache[name] = fn if _prejitted else jax.jit(fn, **kw)
-        return self._jit_cache[name]
+        # cross_cov_compat / parallel_scan are baked into the trace via
+        # ``self`` — key on them so toggling retraces (see hmm._jitted).
+        key = (name, self.cross_cov_compat, self.parallel_scan)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = fn if _prejitted else jax.jit(fn, **kw)
+        return self._jit_cache[key]
 
     def _vb_multi(self, x0, A, obs_model, y, u, r, lr, iters):
         """``iters`` VB-EM sweeps fused into one lax.scan (single device call)."""

@@ -174,9 +174,11 @@ class Tensor_HMM:
         return transition, initial, obs_dist, p, NA, logZ, logZ - KL
 
     def update(self, X, iters=1, T=None, lr=1.0, beta=None, verbose=False):
-        if "vb" not in self._jit_cache:
-            self._jit_cache["vb"] = jax.jit(self._vb_step, static_argnames=("beta",))
-        fn = self._jit_cache["vb"]
+        # key on ptemp: it is baked into the trace (see hmm._jitted)
+        vbkey = ("vb", self.ptemp)
+        if vbkey not in self._jit_cache:
+            self._jit_cache[vbkey] = jax.jit(self._vb_step, static_argnames=("beta",))
+        fn = self._jit_cache[vbkey]
         for _ in range(iters):
             (
                 self.transition,
@@ -196,9 +198,10 @@ class Tensor_HMM:
             self.ELBO_save.append(float(jnp.sum(ELBO)))
 
     def update_states(self, X, T=None):
-        if "estep" not in self._jit_cache:
-            self._jit_cache["estep"] = jax.jit(self._estep)
-        self.p, SEzz, SEz0, NA, logZ = self._jit_cache["estep"](
+        ekey = ("estep", self.ptemp)
+        if ekey not in self._jit_cache:
+            self._jit_cache[ekey] = jax.jit(self._estep)
+        self.p, SEzz, SEz0, NA, logZ = self._jit_cache[ekey](
             self.transition, self.initial, self.obs_dist, X
         )
         self.logZ = logZ

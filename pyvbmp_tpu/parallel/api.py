@@ -67,7 +67,7 @@ def _update_reshaped(model, y, u, r, iters, lr):
     import jax.numpy as jnp
 
     if hasattr(model, "_dmbd_step"):
-        key = ("step", 1)
+        key = ("step", 1, model.obs_model.ptemp)
         if key not in model._jit_cache:
             model._jit_cache[key] = jax.jit(
                 model._dmbd_step, static_argnames=("latent_iters",)
