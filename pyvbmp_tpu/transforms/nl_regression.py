@@ -326,3 +326,215 @@ class NLRegression_Multinomial:
 
     def KLqprior(self):
         return self.A.KLqprior().sum(-1) + self.Z.KLqprior()
+
+
+class NLRegression_orig:
+    """Legacy low-rank NL regression with the row-noise Wishart SHARED between
+    the latent prior q(u|z)=NIW and the encoder W (reference
+    transforms/NLRegression_orig.py:10-145; not exported by the reference's
+    __init__ but listed in its source inventory).
+
+    Generative model: u|x,z ~ N(mu_z + W x, Sigma_uu), y|u,z ~ N(A_z [u;1],
+    Sigma_z). q(Sigma_uu) is shared between mu_z and W, so U is created with
+    fixed_precision and its invU node is re-attached to W's after every W
+    update (the reference aliases the objects; here the functional update
+    re-binds).
+    """
+
+    def __init__(self, n, p, hidden_dim, mixture_dim, batch_shape=(), key=None):
+        from ..utils.rng import key_or_next
+        import jax.random as jr
+
+        key = key_or_next(key)
+        self.hidden_dim = hidden_dim
+        self.batch_shape = tuple(batch_shape)
+        self.batch_dim = len(batch_shape)
+        self.n, self.p, self.mixture_dim = n, p, mixture_dim
+        self.W = MatrixNormalWishart.create(
+            (hidden_dim, p), tuple(batch_shape) + (1,), key=key
+        )
+        self.A = MatrixNormalWishart.create(
+            (n, hidden_dim + 1),
+            tuple(batch_shape) + (mixture_dim,),
+            key=jr.fold_in(key, 1),
+        )
+        self.U = NormalInverseWishart.create(
+            (hidden_dim,),
+            tuple(batch_shape) + (mixture_dim,),
+            fixed_precision=True,
+            key=jr.fold_in(key, 2),
+        )
+        self.U = jax.tree_util.tree_map(lambda x: x, self.U)
+        self._share_invU()
+        self.pi = Dirichlet.create(
+            (mixture_dim,), tuple(batch_shape), key=jr.fold_in(key, 3)
+        )
+        self.ELBO_last = -jnp.inf
+        self.ELBO_save = []
+
+    def _share_invU(self):
+        """q(Sigma_uu) is shared: U's precision node IS W's
+        (reference NLRegression_orig.py:33)."""
+        from ..utils.jaxutils import replace
+
+        self.U = replace(self.U, invU=self.W.invU)
+
+    def raw_update(self, X, Y, iters=1, lr=1.0, verbose=False):
+        for _ in range(self.batch_dim + 1):
+            X = X[..., None, :]
+            Y = Y[..., None, :]
+        Xv = X[..., None]
+        Yv = Y[..., None]
+        SExx = (Xv @ mT(Xv)).sum(0)
+
+        for _ in range(int(iters)):
+            AXT = self.A.EXTinvUX()
+            AXU = self.A.EXTinvU()
+            invSigma_u_u = self.W.EinvSigma() + AXT[..., :-1, :-1]
+            invSigmamu_u = (
+                self.U.EinvSigmamu()[..., None]
+                + self.W.EinvUX() @ Xv
+                + AXU[..., :-1, :] @ Yv
+                - AXT[..., :-1, -1:]
+            )
+            Sigma_u_u = psd_inv(invSigma_u_u)
+            mu_u = Sigma_u_u @ invSigmamu_u
+
+            Res = (
+                -0.5 * mT(Yv) @ self.A.EinvSigma() @ Yv
+                - 0.5 * AXT[..., -1:, -1:]
+                + AXU[..., -1:, :] @ Yv
+            )
+            Res = (
+                Res
+                - 0.5 * mT(Xv) @ self.W.EXTinvUX() @ Xv
+                - self.U.mean()[..., None, :] @ self.W.EinvUX() @ Xv
+                + 0.5 * mT(mu_u) @ invSigmamu_u
+            )
+            Res = (
+                Res[..., 0, 0]
+                + 0.5 * self.A.ElogdetinvSigma()
+                + 0.5 * self.W.ElogdetinvSigma()
+                - 0.5 * psd_logdet(invSigma_u_u)
+                - 0.5 * self.U.EXTinvUX()
+                - 0.5 * self.n * jnp.log(2 * jnp.pi)
+            )
+            log_p = Res + self.pi.loggeomean()
+            shift = log_p.max(-1, keepdims=True)
+            self.logZ = (
+                jax.scipy.special.logsumexp(log_p - shift, -1, keepdims=True) + shift
+            )
+            log_p = log_p - self.logZ
+            self.p = jnp.exp(log_p)
+            self.logZ = self.logZ[..., 0].sum(0)
+            self.NA = self.p.sum(0)
+
+            ELBO = self.ELBO()
+            if verbose:
+                print(
+                    "Percent Change in ELBO = ",
+                    (ELBO - self.ELBO_last) / jnp.abs(self.ELBO_last) * 100,
+                )
+            self.ELBO_last = ELBO
+            self.ELBO_save.append(float(jnp.sum(ELBO)))
+
+            self.pi = self.pi.ss_update(self.NA, lr)
+
+            pv = self.p[..., None, None]
+            NAv = self.NA[..., None, None]
+            SEuu = ((Sigma_u_u + mu_u @ mT(mu_u)) * pv).sum(0)
+            SEu = (mu_u * pv).sum(0)
+            SEu1u1 = jnp.concatenate([SEuu, SEu], -1)
+            SEu1 = jnp.concatenate([SEu, NAv], -2)
+            SEu1u1 = jnp.concatenate([SEu1u1, mT(SEu1)], -2)
+            SEyy = ((Yv @ mT(Yv)) * pv).sum(0)
+            SEyu1 = jnp.concatenate(
+                [((Yv @ mT(mu_u)) * pv).sum(0), (Yv * pv).sum(0)], -1
+            )
+            self.A = self.A.ss_update(SEu1u1, SEyu1, SEyy, self.NA, lr)
+
+            # U's mean updates manually; its covariance rides along with W
+            # (reference NLRegression_orig.py:90-101)
+            SEx = (Xv * pv).sum(0)
+            ubar = self.U.mean()[..., None]
+            SEdux = (((mu_u - ubar) @ mT(Xv)) * pv).sum(0).sum(-3, keepdims=True)
+            SEdudu = (
+                SEuu
+                - SEu @ mT(ubar)
+                - ubar @ mT(SEu)
+                + ubar @ mT(ubar) * NAv
+            ).sum(-3, keepdims=True)
+            mu = (
+                SEu[..., 0]
+                - (self.W.mean() @ SEx)[..., 0]
+                + self.U.mu_0 * self.U.lambda_mu_0[..., None]
+            ) / (self.U.lambda_mu_0[..., None] + self.NA[..., None])
+            self.W = self.W.ss_update(
+                SExx, SEdux, SEdudu, self.NA.sum(-1, keepdims=True), lr
+            )
+            from ..utils.jaxutils import replace
+
+            self.U = replace(
+                self.U,
+                lambda_mu=self.U.lambda_mu
+                + lr * (self.NA + self.U.lambda_mu_0 - self.U.lambda_mu),
+                mu=self.U.mu + lr * (mu - self.U.mu),
+            )
+            self._share_invU()
+
+    def predict(self, X):
+        # single mixture-axis unsqueeze (reference NLRegression_orig.py:108
+        # assumes X is already batch-consistent)
+        X = X[..., None, :]
+        Xv = X[..., None]
+        invSigma_u_u = self.W.EinvSigma()
+        invSigmamu_u = (
+            self.W.EinvSigma() @ self.U.mean()[..., None] + self.W.EinvUX() @ Xv
+        )
+        Sigma_u_u = psd_inv(invSigma_u_u)
+        mu_u = Sigma_u_u @ invSigmamu_u
+
+        Res = (
+            -0.5 * mT(Xv) @ self.W.EXTinvUX() @ Xv
+            - self.U.mean()[..., None, :] @ self.W.EinvUX() @ Xv
+            + 0.5 * mT(mu_u) @ invSigmamu_u
+        )
+        Res = (
+            Res[..., 0, 0]
+            + 0.5 * self.W.ElogdetinvSigma()
+            - 0.5 * psd_logdet(invSigma_u_u)
+            - 0.5 * self.U.EXTinvUX()
+        )
+        log_p = Res + self.pi.loggeomean()
+        log_p = log_p - log_p.max(-1, keepdims=True)
+        p = jnp.exp(log_p)
+        p = p / p.sum(-1, keepdims=True)
+
+        mu_u1 = jnp.concatenate(
+            [mu_u, jnp.ones(mu_u.shape[:-2] + (1, 1), mu_u.dtype)], -2
+        )
+        mu_y = self.A.mean() @ mu_u1
+        Sigma_y = self.A.ESigma() + self.A.mean()[..., :-1] @ Sigma_u_u @ mT(
+            self.A.mean()[..., :-1]
+        )
+        pv = p[..., None, None]
+        Sigma_y = ((Sigma_y + mu_y @ mT(mu_y)) * pv).sum(-3)
+        mu_y = (mu_y * pv).sum(-3)
+        Sigma_y = Sigma_y - mu_y @ mT(mu_y)
+        return MVN_vf(mu=mu_y, Sigma=Sigma_y), p
+
+    forward = predict
+
+    def ELBO(self):
+        return self.logZ.sum() - self.KLqprior()
+
+    def KLqprior(self):
+        # U.KLqprior includes the shared invU KL (broadcast over mixture);
+        # the reference subtracts it once "because invU is shared with W"
+        # (NLRegression_orig.py:139-141)
+        KL = (
+            self.A.KLqprior().sum(-1)
+            + self.W.KLqprior().sum(-1)
+            + self.U.KLqprior().sum(-1)
+        )
+        return KL + self.pi.KLqprior() - self.U.invU.KLqprior().sum(-1)

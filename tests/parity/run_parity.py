@@ -482,6 +482,37 @@ def parity_hdir(iters=6):
     report("hdir", refs, ours)
 
 
+def parity_nlr_orig(iters=6):
+    """NLRegression_orig ELBO trajectory vs reference
+    (reference transforms/NLRegression_orig.py)."""
+    import transforms.NLRegression_orig as TNLRO
+    from pyvbmp_tpu.transforms.nl_regression import NLRegression_orig as JNLR
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    n, pdim, hid, mix = 2, 3, 2, 4
+    X = rs.randn(60, pdim)
+    Y = np.tanh(X @ rs.randn(pdim, n)) + 0.05 * rs.randn(60, n)
+
+    tm = TNLRO.NLRegression_orig(n, pdim, hid, mix)
+    jm = JNLR(n, pdim, hid, mix)
+    jm.W = copy_mnw(jm.W, tm.W)
+    jm.A = copy_mnw(jm.A, tm.A)
+    jm.U = copy_niw(jm.U, tm.U)
+    jm._share_invU()
+    jm.pi = copy_dirichlet(jm.pi, tm.pi)
+
+    tX, tY = torch.tensor(X), torch.tensor(Y)
+    jX, jY = jnp.asarray(X), jnp.asarray(Y)
+    refs, ours = [], []
+    for _ in range(iters):
+        tm.raw_update(tX, tY, iters=1, lr=0.6)
+        jm.raw_update(jX, jY, iters=1, lr=0.6)
+        refs.append(tm.ELBO().item())
+        ours.append(float(jm.ELBO()))
+    report("nlr_orig", refs, ours)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "gmm"
     {
@@ -495,4 +526,5 @@ if __name__ == "__main__":
         "arhmm": parity_arhmm,
         "mixlds": parity_mixlds,
         "hdir": parity_hdir,
+        "nlr_orig": parity_nlr_orig,
     }[which]()
