@@ -34,5 +34,15 @@ __all__ = [
     "NLRegression_Multinomial",
     "MultiLinearNormalWishart",
 ]
-from .bayesian_transformers import GenerativeBayesianTransformer, FocusedBayesianTransformer
-__all__ += ["GenerativeBayesianTransformer", "FocusedBayesianTransformer"]
+from .bayesian_transformers import (
+    ChainedBayesianTransformer,
+    DiscreteBayesianTransformer,
+    FocusedBayesianTransformer,
+    GenerativeBayesianTransformer,
+)
+__all__ += [
+    "GenerativeBayesianTransformer",
+    "FocusedBayesianTransformer",
+    "DiscreteBayesianTransformer",
+    "ChainedBayesianTransformer",
+]

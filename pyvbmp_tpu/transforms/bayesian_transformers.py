@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..dists import Dirichlet
 from ..dists.delta import Delta
@@ -221,3 +222,78 @@ class FocusedBayesianTransformer:
 
     def KLqprior(self):
         return self.W.KLqprior().sum(-1) + self.pi.KLqprior()
+
+
+# The reference's wip_DiscreteBayesianTransformer.py is byte-identical to
+# wip_FocusedBayesianTransformer.py modulo the class name (verified by
+# whitespace-insensitive diff), so the working counterpart is shared.
+DiscreteBayesianTransformer = FocusedBayesianTransformer
+
+
+class ChainedBayesianTransformer:
+    """Out-of-order chain discovery: each observation y_i is either
+    independent (z_i = -1, modeled by a NIW base density) or driven by one of
+    the other observations through a shared linear map W
+    (reference transforms/wip_ChainedBayesianTransformer.py:11-65)."""
+
+    def __init__(self, mixture_dim, role_dim, n, p, batch_shape=(), pad_X=False,
+                 key=None):
+        from ..dists.niw_vector_format import NormalInverseWishart_vector_format
+        from ..utils.rng import key_or_next
+        import jax.random as jr
+
+        key = key_or_next(key)
+        self.obs_dim = n
+        self.regression_dim = p
+        self.event_shape = (mixture_dim, n, p)
+        self.event_dim = 3
+        self.batch_shape = tuple(batch_shape)
+        self.batch_dim = len(batch_shape)
+        self.role_dim = role_dim
+        self.mixture_dim = mixture_dim
+
+        self.x0 = NormalInverseWishart_vector_format.create((n, 1), key=key)
+        self.W = MatrixNormalWishart.create((n, n), key=jr.fold_in(key, 1))
+        # pi.mean()[0] = probability an observation is independent of the rest
+        self.pi = Dirichlet.create((2,), key=jr.fold_in(key, 2))
+
+    def raw_update(self, Y, iters=1, lr=1.0, beta=None, verbose=False):
+        """Y: sample x num_obs x n."""
+        NR = Y.shape[-2]
+        eye = jnp.eye(NR)
+        for _ in range(int(iters)):
+            log_p = (
+                self.W.Elog_like(Y[..., :, None, :, None], Y[..., None, :, :, None])
+                + self.pi.ElogX()[1]
+                - jnp.log(NR - 1.0)
+            )
+            log_p = log_p * (1.0 - eye) + (
+                self.x0.Elog_like(Y[..., None])[..., None] + self.pi.ElogX()[0]
+            ) * eye
+
+            shift = log_p.max(-1, keepdims=True)
+            log_p = log_p - shift
+            p = jnp.exp(log_p)
+            logZ = p.sum(-1, keepdims=True)
+            p = p / logZ
+            self.logZ = (jnp.log(logZ) + shift)[..., 0]
+
+            p0 = jnp.diagonal(p, axis1=-1, axis2=-2)
+            self.x0 = self.x0.raw_update(Y[..., None], p=p0, lr=lr)
+            p = p * (1.0 - eye)
+            self.p = p
+
+            N = jnp.asarray(float(np.prod(Y.shape[:-1])))[None]
+            N0 = p0.sum()[None]
+            self.pi = self.pi.raw_update(jnp.concatenate([N0, N - N0], -1), lr=lr)
+            self.W = self.W.raw_update(
+                Y[..., :, None, :, None], Y[..., None, :, :, None], p=p, lr=lr
+            )
+
+    update = raw_update
+
+    def KLqprior(self):
+        return self.x0.KLqprior() + self.W.KLqprior() + self.pi.KLqprior()
+
+    def ELBO(self):
+        return self.logZ.sum() - self.KLqprior()

@@ -42,3 +42,42 @@ def test_focused_bayesian_transformer_updates():
     m.raw_update(Y, iters=4)
     elbos = np.asarray(m.ELBO_save)
     assert np.isfinite(elbos).all()
+
+
+def test_chained_bayesian_transformer_discovers_chain():
+    """y0 independent, y1 = W y0, y2 = W y1: the model should mark y0
+    independent and recover the parent structure
+    (reference wip_ChainedBayesianTransformer is unconstructible upstream —
+    stale constructor signatures — so this tests the working counterpart)."""
+    from pyvbmp_tpu.transforms import ChainedBayesianTransformer
+
+    rng.seed(3)
+    rs = np.random.RandomState(1)
+    n, S = 2, 500
+    W = np.array([[0.9, -0.4], [0.4, 0.9]])
+    y0 = rs.randn(S, n) * 2.0
+    y1 = y0 @ W.T + 0.01 * rs.randn(S, n)
+    y2 = y1 @ W.T + 0.01 * rs.randn(S, n)
+    Y = jnp.asarray(np.stack([y0, y1, y2], 1), jnp.float32)
+
+    m = ChainedBayesianTransformer(1, 1, n, n)
+    elbos = []
+    for _ in range(10):
+        m.raw_update(Y, iters=1)
+        elbos.append(float(m.ELBO()))
+    assert np.isfinite(elbos).all()
+    assert elbos[-1] > elbos[0]
+    p = np.asarray(m.p).mean(0)
+    p_indep = 1 - p.sum(-1)
+    assert p_indep[0] > 0.9          # y0 flagged independent
+    assert p[1, 0] > 0.9             # y1 driven by y0
+    assert p[2, 1] > 0.9             # y2 driven by y1
+
+
+def test_discrete_transformer_is_focused_alias():
+    from pyvbmp_tpu.transforms import (
+        DiscreteBayesianTransformer,
+        FocusedBayesianTransformer,
+    )
+
+    assert DiscreteBayesianTransformer is FocusedBayesianTransformer
