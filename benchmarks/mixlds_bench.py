@@ -73,10 +73,9 @@ def bench_ours(cfg, y):
         pass
     rng.seed(0)
     m = MixtureofLinearDynamicalSystems(
-        cfg["num_systems"], (cfg["obs_dim"],), cfg["hidden"], 0, 0
+        cfg["num_systems"], (cfg["obs_dim"],), cfg["hidden"], 0, 0,
+        parallel_scan=True,
     )
-    m.lds.parallel_scan = True
-    m.lds.cross_cov_compat = False
     jy = jnp.asarray(y)
     best = float("inf")
     for rep in range(3):

@@ -12,12 +12,16 @@ from .lds import LinearDynamicalSystems
 
 
 class MixtureofLinearDynamicalSystems:
-    def __init__(self, num_systems, obs_shape, hidden_dim, control_dim, regression_dim, key=None):
+    def __init__(self, num_systems, obs_shape, hidden_dim, control_dim, regression_dim,
+                 parallel_scan=False, key=None):
         from ..utils.rng import key_or_next
         import jax.random as jr
 
         key = key_or_next(key)
         self.num_systems = num_systems
+        # parallel_scan uses the O(log T) associative-scan smoother; it
+        # implies the corrected cross-covariance math (cross_cov_compat=False,
+        # same trade as DMBD's parallel path)
         self.lds = LinearDynamicalSystems(
             obs_shape,
             hidden_dim,
@@ -25,6 +29,8 @@ class MixtureofLinearDynamicalSystems:
             regression_dim,
             latent_noise="independent",
             batch_shape=(num_systems,),
+            cross_cov_compat=not parallel_scan,
+            parallel_scan=parallel_scan,
             key=key,
         )
         self.lds.expand_to_batch = True
@@ -66,8 +72,13 @@ class MixtureofLinearDynamicalSystems:
 
     def update(self, y, u=None, r=None, iters=1, lr=1.0, verbose=False):
         y, u, r = self.lds.reshape_inputs(y, u, r)
-        if self._jit is None:
-            self._jit = jax.jit(self._vb_multi, static_argnames=("iters",))
+        # key on smoother flags: they're baked into the trace (see lds._jitted)
+        jkey = (self.lds.parallel_scan, self.lds.cross_cov_compat)
+        if not isinstance(self._jit, dict):
+            self._jit = {}
+        if jkey not in self._jit:
+            self._jit[jkey] = jax.jit(self._vb_multi, static_argnames=("iters",))
+        _jit = self._jit[jkey]
         ELBO_last = -jnp.inf
         (
             self.lds.x0,
@@ -77,7 +88,7 @@ class MixtureofLinearDynamicalSystems:
             self.p,
             self.logZ,
             ELBOs,
-        ) = self._jit(
+        ) = _jit(
             self.lds.x0, self.lds.A, self.lds.obs_model, self.pi, y, u, r, lr, iters
         )
         for ELBO in ELBOs:

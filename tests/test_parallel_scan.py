@@ -121,3 +121,25 @@ def test_driven_hmm_parallel_equals_sequential():
     np.testing.assert_allclose(SEzz1, SEzz2, atol=3e-5)
     np.testing.assert_allclose(SEz01, SEz02, atol=3e-5)
     np.testing.assert_allclose(logZ1, logZ2, atol=1e-4, rtol=1e-5)
+
+
+def test_dmbd_unique_obs_per_observation_roles():
+    """unique_obs=True gives each observation stream its own role model
+    (reference DMBD.py:73-75 — the upstream path crashes with AttributeError;
+    here it runs: per-obs transition batch, distinct after fitting)."""
+    from pyvbmp_tpu.models import DynamicMarkovBlanketDiscovery
+    from pyvbmp_tpu.utils import rng
+
+    rng.seed(0)
+    rs = np.random.RandomState(0)
+    y = jnp.asarray(rs.randn(15, 2, 4, 2), jnp.float32)
+    m = DynamicMarkovBlanketDiscovery(
+        obs_shape=(4, 2), role_dims=(1, 1, 1), hidden_dims=(2, 1, 1),
+        unique_obs=True,
+    )
+    assert m.obs_model.transition.alpha.shape[:-2] == (4,)
+    m.update(y, iters=2)
+    assert np.isfinite(m.ELBO_save).all()
+    assert m.ELBO_save[-1] > m.ELBO_save[0]
+    a = np.asarray(m.obs_model.transition.alpha)
+    assert not np.allclose(a[0], a[1])
