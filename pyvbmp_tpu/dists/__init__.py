@@ -14,6 +14,7 @@ from .delta import Delta
 from .mixture import Mixture
 from .tensor_normal_wishart import TensorNormalWishart
 from .niw_vector_format import (
+    GMM_vector,
     NormalInverseWishart_vector_format,
     NormalInverseWishart_vector_format_invSigma,
 )
@@ -37,5 +38,6 @@ __all__ = [
     "Mixture",
     "TensorNormalWishart",
     "NormalInverseWishart_vector_format",
+    "GMM_vector",
     "NormalInverseWishart_vector_format_invSigma",
 ]

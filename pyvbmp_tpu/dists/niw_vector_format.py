@@ -10,6 +10,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from .mixture import Mixture
 from .wishart import Wishart
 from ..utils import math as um
 from ..utils.jaxutils import pytree_dataclass, replace
@@ -424,3 +425,43 @@ class NormalInverseWishart_vector_format_invSigma:
 
     def EXmMUTinvUXmMU(self):
         return self.dim / self.lmbda
+
+
+class GMM_vector(Mixture):
+    """GMM over vector-format NIW components (reference
+    dists/NormalInverseWishart_vector_format.py:224-236; the reference's
+    version is unconstructible — it passes a parms dict where the ctor
+    expects event_shape — so this is the working counterpart)."""
+
+    def __init__(self, nc, dim, key=None):
+        import jax.random as jr
+        from ..utils.rng import key_or_next
+
+        key = key_or_next(key)
+        dist = NormalInverseWishart_vector_format.create(
+            (dim, 1),
+            batch_shape=(nc,),
+            prior_parms={"lambda": 1.0, "lambda_mu": 0.0, "nu": 2.0 + dim,
+                         "invU": jnp.eye(dim)},
+            key=key,
+        )
+        super().__init__(dist, (nc,), key=jr.fold_in(key, 1))
+
+    def initialize(self, data, key=None):
+        """Seed component means at random data points (reference :232-235)."""
+        import jax.random as jr
+        from ..utils.jaxutils import replace
+        from ..utils.rng import key_or_next
+
+        key = key_or_next(key)
+        idx = jr.randint(key, self.dist.batch_shape, 0, data.shape[0])
+        lmbda_mu = data[idx] * self.dist.lmbda
+        # keep invU = xi - lmbda_mu lmbda_mu^T/lmbda (+prior coupling)
+        # unchanged when moving the mean (the reference's initialize skips
+        # this, leaving xi inconsistent -> NaN logdets)
+        xi = (
+            self.dist.xi
+            - self.dist.lmbda_mu @ mT(self.dist.lmbda_mu) / self.dist.lmbda
+            + lmbda_mu @ mT(lmbda_mu) / self.dist.lmbda
+        )
+        self.dist = replace(self.dist, lmbda_mu=lmbda_mu, xi=xi)._with_expectations()

@@ -250,3 +250,29 @@ def test_hierarchical_dirichlet_three_deep_shapes():
     assert hd2.mean().shape == (5, 3, 4, 2)
     np.testing.assert_allclose(hd2.mean().sum((-1, -2, -3)), 1.0, rtol=1e-5)
     assert hd2.KLqprior().shape == (5,)
+
+
+def test_gmm_vector_clusters():
+    """GMM over vector-format NIW components (reference NIW_vf.py:224-236 is
+    unconstructible upstream; this is the working counterpart)."""
+    from itertools import permutations
+
+    from pyvbmp_tpu.dists import GMM_vector
+    from pyvbmp_tpu.utils import rng
+
+    rng.seed(0)
+    rs = np.random.RandomState(0)
+    mus = np.array([[-3.0, 0.0], [3.0, 0.0], [0.0, 4.0]])
+    z = rs.randint(0, 3, 400)
+    X = jnp.asarray((mus[z] + 0.4 * rs.randn(400, 2))[..., None], jnp.float32)
+    g = GMM_vector(5, 2)
+    g.initialize(X)
+    g.update(X, iters=12)
+    e = np.asarray(g.ELBO_save)
+    assert np.isfinite(e).all() and e[-1] > e[0]
+    hard = np.asarray(g.p).argmax(-1)
+    acc = max(
+        (hard == np.vectorize({0: a, 1: b, 2: c}.get)(z)).mean()
+        for a, b, c in permutations(range(5), 3)
+    )
+    assert acc > 0.9
