@@ -94,5 +94,62 @@ def main():
     return results
 
 
+def main_ref():
+    """torch-CPU reference on the same task (MNIST bake-off analogue,
+    reference tests/test_vb_mnist.py:107-160; MNIST itself needs a download
+    this environment doesn't allow, so the same synthetic task is used for
+    both sides)."""
+    import sys as _s
+    _s.path.insert(0, "/root/reference")
+    import torch
+    from transforms import (
+        MultiNomialLogisticRegression,
+        dMixtureofLinearTransforms,
+        NLRegression_Multinomial,
+    )
+
+    Xtr, ytr, Xte, yte = make_task()
+    K = 10
+    Ytr = np.eye(K, dtype=np.float32)[ytr]
+    tX, tY, tXe = map(torch.tensor, (Xtr, Ytr, Xte))
+
+    results = {}
+    torch.manual_seed(0)
+    m = MultiNomialLogisticRegression(K, Xtr.shape[1], pad_X=True)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        m.raw_update(tX, tY, iters=2)
+    dt = time.perf_counter() - t0
+    acc = (m.predict(tXe).argmax(-1).numpy() == yte).mean()
+    results["MNLR (PG)"] = (acc, dt)
+
+    torch.manual_seed(0)
+    m = dMixtureofLinearTransforms(K, Xtr.shape[1], 4)
+    t0 = time.perf_counter()
+    m.raw_update(tX, tY, iters=10)
+    dt = time.perf_counter() - t0
+    pY = m.predict(tXe)[0]
+    acc = (pY.mean().squeeze(-1).argmax(-1).numpy() == yte).mean()
+    results["dMixLT (4 experts)"] = (acc, dt)
+
+    torch.manual_seed(0)
+    m = NLRegression_Multinomial(K, Xtr.shape[1], 4)
+    t0 = time.perf_counter()
+    m.raw_update(tX, tY, iters=10)
+    dt = time.perf_counter() - t0
+    pY = m.predict(tXe)[0]
+    acc = (pY.mean().squeeze(-1).argmax(-1).numpy() == yte).mean()
+    results["NLR-multinomial"] = (acc, dt)
+
+    for name, (acc, dt) in results.items():
+        print("%-22s accuracy %.3f   fit %.1fs   [torch-CPU reference]" % (name, acc, dt))
+    return results
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    if len(_sys.argv) > 1 and _sys.argv[1] == "ref":
+        main_ref()
+    else:
+        main()
+

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .mnlr import highest_precision
+
 from ..dists.mvn_ard import MVN_ard
 from ..utils import math as um
 from ..utils.jaxutils import replace
@@ -49,6 +51,7 @@ class MultiNomialLogisticRegression_Bouchard:
             return jnp.concatenate([X, jnp.ones(X.shape[:-1] + (1,), X.dtype)], -1)
         return X
 
+    @highest_precision
     def raw_update(self, X, Y, iters=4, p=None, lr=1.0, beta=None, verbose=False):
         sdims = tuple(range(X.ndim - 1 - self.batch_dim))
         EX = self._padded(X)
@@ -94,6 +97,7 @@ class MultiNomialLogisticRegression_Bouchard:
             new_beta = new_beta.ss_update(SExx, SEyx + SEyx_star, lr=lr, beta=beta)
         self.beta = new_beta
 
+    @highest_precision
     def update(self, pX, Y, iters=1, p=None, lr=1.0, beta=None, verbose=False):
         """Message-valued X (reference Bouchard.update:100-140)."""
         sdims = tuple(range(len(pX.shape) - 2 - self.batch_dim))
@@ -143,6 +147,7 @@ class MultiNomialLogisticRegression_Bouchard:
             new_beta = new_beta.ss_update(SExx, SEyx + SEyx_star, lr=lr, beta=0.0)
         self.beta = new_beta
 
+    @highest_precision
     def Elog_like_given_pX_pY(self, pX, Y, iters=2):
         """Bouchard ELL bound (reference Bouchard.py:178-218)."""
         if not self.pad_X:
@@ -174,6 +179,7 @@ class MultiNomialLogisticRegression_Bouchard:
         ELL = ELL + (N * log_sigmoid(-xi)).sum(-1)
         return ELL
 
+    @highest_precision
     def forward(self, pX):
         sample_shape = pX.shape[:-2]
         Yt = jnp.eye(self.n)
@@ -182,6 +188,7 @@ class MultiNomialLogisticRegression_Bouchard:
         Res = jnp.log(jnp.exp(log_p - log_p.max(-1, keepdims=True)).sum(-1, keepdims=True)) + log_p.max(-1, keepdims=True)
         return log_p - Res, Res[..., 0]
 
+    @highest_precision
     def Elog_like(self, X, Y, iters=2):
         X = self._padded(X)
         Xr = X[..., None, :]
@@ -201,6 +208,7 @@ class MultiNomialLogisticRegression_Bouchard:
         ELL = ELL + (N * log_sigmoid(-xi)).sum(-1)
         return ELL
 
+    @highest_precision
     def log_predict(self, X):
         sample_shape = X.shape[:-1]
         Yt = jnp.eye(self.n)
@@ -208,6 +216,7 @@ class MultiNomialLogisticRegression_Bouchard:
         log_p = jnp.moveaxis(self.Elog_like(X, Yt), 0, -1)
         return log_p
 
+    @highest_precision
     def predict(self, X):
         lnp = self.log_predict(X)
         p = jnp.exp(lnp - lnp.max(-1, keepdims=True))
