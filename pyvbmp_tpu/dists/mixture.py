@@ -75,9 +75,14 @@ class Mixture:
             self.pi, self.dist, self.p, self.NA, self.logZ, ELBOs = step(
                 self.pi, self.dist, Xv, lr, iters
             )
+        # single host fetch; iterating the device array round-trips per
+        # element on remote-attached TPUs
+        import numpy as np
+
+        ELBOs = np.asarray(ELBOs)
         for ELBO in ELBOs:
             if verbose:
-                pct = (ELBO - self.ELBO_last) / jnp.abs(self.ELBO_last) * 100.0
+                pct = (ELBO - self.ELBO_last) / np.abs(self.ELBO_last) * 100.0
                 print("Percent Change in ELBO:   ", pct)
             self.ELBO_last = ELBO
             self.ELBO_save.append(float(ELBO.sum()))
