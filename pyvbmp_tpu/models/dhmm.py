@@ -128,21 +128,90 @@ class dHMM:
     def raw_update_obs_parms(self, Y, lr=1.0):
         self.obs_dist = self.obs_dist.raw_update(Y, self.p, lr)
 
+    def _vb_step(self, beta, initial, obs_dist, X, Y, lr):
+        """One pure VB sweep over (transition-beta, initial, obs) nodes.
+
+        The MNLR transition is a stateful shell around its ``beta`` node; the
+        node is swapped in for the trace and restored after, so this function
+        is pure in its pytree arguments and jits/scans cleanly."""
+        if self.parallel_scan:
+            from ..ops.parallel_hmm import driven_forward_backward_parallel as fb
+        else:
+            fb = driven_forward_backward
+        tr = self.transition
+        saved = tr.beta
+        try:
+            tr.beta = beta
+            p, SEzz, SEz0, logZ = fb(
+                tr.log_predict(X),
+                initial.loggeomean(),
+                obs_dist.Elog_like(Y),
+                self.ptemp,
+            )
+            keep = self.batch_dim + self.event_dim
+            NA = sum_leading(p.sum(0), keep)
+            SEz0r = sum_leading(SEz0, keep)
+            sumlogZ = sum_leading(logZ, self.batch_dim)
+            tr.raw_update(X, SEzz, iters=4, lr=lr)
+            new_beta = tr.beta
+            KL_tr = tr.KLqprior()
+        finally:
+            tr.beta = saved
+        initial = initial.ss_update(SEz0r, lr)
+        obs_dist = obs_dist.raw_update(Y, p, lr)
+        KL = obs_dist.KLqprior().sum(-1) + KL_tr + initial.KLqprior()
+        for _ in range(self.event_dim - 1):
+            KL = KL.sum(-1)
+        ELBO = jnp.sum(sumlogZ - KL)
+        return new_beta, initial, obs_dist, p, NA, sumlogZ, ELBO
+
+    def _vb_multi(self, beta, initial, obs_dist, X, Y, lr, iters):
+        def body(carry, _):
+            beta, initial, obs_dist = carry
+            beta, initial, obs_dist, p, NA, sumlogZ, ELBO = self._vb_step(
+                beta, initial, obs_dist, X, Y, lr
+            )
+            return (beta, initial, obs_dist), (p, NA, sumlogZ, ELBO)
+
+        carry, (ps, NAs, logZs, ELBOs) = jax.lax.scan(
+            body, (beta, initial, obs_dist), None, length=iters
+        )
+        return carry + (ps[-1], NAs[-1], logZs[-1], ELBOs)
+
     def raw_update(self, X, Y, iters=1, lr=1.0, verbose=False):
+        import numpy as np
+
         Y = Y[..., None, :]
         X = X[..., None, :]
-        ELBO = -jnp.inf
-        for _ in range(iters):
-            ELBO_last = ELBO
-            self.raw_update_states(X, Y)
-            self.raw_update_markov_parms(X, lr)
-            self.raw_update_obs_parms(Y, lr)
-            ELBO = jnp.sum(self.ELBO())
+        if not hasattr(self, "_jit_cache"):
+            self._jit_cache = {}
+        key = ("vb_multi", iters, self.ptemp, self.parallel_scan)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                self._vb_multi, static_argnames=("iters",)
+            )
+        (
+            beta,
+            self.initial,
+            self.obs_dist,
+            self.p,
+            self.NA,
+            self.sumlogZ,
+            ELBOs,
+        ) = self._jit_cache[key](
+            self.transition.beta, self.initial, self.obs_dist, X, Y, lr, iters
+        )
+        self.transition.beta = beta
+        self.logZ = self.sumlogZ
+        ELBOs = np.asarray(ELBOs)  # one host fetch for all iterations
+        ELBO_last = -np.inf
+        for ELBO in ELBOs:
             if verbose:
                 print(
                     "Percent Change in ELBO = %f"
-                    % float((ELBO - ELBO_last) / jnp.abs(ELBO_last) * 100)
+                    % float((ELBO - ELBO_last) / np.abs(ELBO_last) * 100)
                 )
+            ELBO_last = ELBO
             self.ELBO_save.append(float(ELBO))
 
     update = raw_update

@@ -173,13 +173,31 @@ class Tensor_HMM:
         )
         return transition, initial, obs_dist, p, NA, logZ, logZ - KL
 
+    def _vb_multi(self, transition, initial, obs_dist, X, lr, beta, iters):
+        """All iterations fused into one device call (lax.scan over sweeps)."""
+
+        def body(carry, _):
+            transition, initial, obs_dist = carry
+            transition, initial, obs_dist, p, NA, logZ, ELBO = self._vb_step(
+                transition, initial, obs_dist, X, lr, beta
+            )
+            return (transition, initial, obs_dist), (p, NA, logZ, ELBO)
+
+        carry, (ps, NAs, logZs, ELBOs) = jax.lax.scan(
+            body, (transition, initial, obs_dist), None, length=iters
+        )
+        return carry + (ps[-1], NAs[-1], logZs[-1], ELBOs)
+
     def update(self, X, iters=1, T=None, lr=1.0, beta=None, verbose=False):
+        import numpy as np
+
         # key on ptemp: it is baked into the trace (see hmm._jitted)
-        vbkey = ("vb", self.ptemp)
-        if vbkey not in self._jit_cache:
-            self._jit_cache[vbkey] = jax.jit(self._vb_step, static_argnames=("beta",))
-        fn = self._jit_cache[vbkey]
-        for _ in range(iters):
+        if iters == 1:
+            vbkey = ("vb", self.ptemp)
+            if vbkey not in self._jit_cache:
+                self._jit_cache[vbkey] = jax.jit(
+                    self._vb_step, static_argnames=("beta",)
+                )
             (
                 self.transition,
                 self.initial,
@@ -188,14 +206,36 @@ class Tensor_HMM:
                 self.NA,
                 self.logZ,
                 ELBO,
-            ) = fn(self.transition, self.initial, self.obs_dist, X, lr, beta)
+            ) = self._jit_cache[vbkey](
+                self.transition, self.initial, self.obs_dist, X, lr, beta
+            )
+            ELBOs = np.asarray(ELBO)[None]
+        else:
+            vbkey = ("vb_multi", iters, self.ptemp)
+            if vbkey not in self._jit_cache:
+                self._jit_cache[vbkey] = jax.jit(
+                    self._vb_multi, static_argnames=("beta", "iters")
+                )
+            (
+                self.transition,
+                self.initial,
+                self.obs_dist,
+                self.p,
+                self.NA,
+                self.logZ,
+                ELBOs,
+            ) = self._jit_cache[vbkey](
+                self.transition, self.initial, self.obs_dist, X, lr, beta, iters
+            )
+            ELBOs = np.asarray(ELBOs)  # one host fetch for all iterations
+        for ELBO in ELBOs:
             if verbose:
                 print(
                     "Percent Change in ELBO = ",
-                    (ELBO - self.ELBO_last) / jnp.abs(self.ELBO_last) * 100,
+                    (ELBO - self.ELBO_last) / np.abs(self.ELBO_last) * 100,
                 )
             self.ELBO_last = ELBO
-            self.ELBO_save.append(float(jnp.sum(ELBO)))
+            self.ELBO_save.append(float(np.sum(ELBO)))
 
     def update_states(self, X, T=None):
         ekey = ("estep", self.ptemp)
