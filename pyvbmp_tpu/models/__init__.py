@@ -33,4 +33,5 @@ __all__ += [
     "DynamicMarkovBlanketDiscovery",
 ]
 from .bayes_net import BayesNet
-__all__ += ['BayesNet']
+from .nlds import NLDS, NonLinearDynamicalSystems
+__all__ += ['BayesNet', 'NLDS', 'NonLinearDynamicalSystems']

@@ -104,7 +104,12 @@ def parallel_kalman_smoother(parms, x0, like, u):
     QA_xp_x = parms["QA_xp_x"]
     QA_xp_u = parms["QA_xp_u"]
 
-    bshape = jnp.broadcast_shapes(invQ.shape, iS_like.shape[1:])
+    # parms may be time-varying (leading T axis, e.g. switching-LDS mixtures):
+    # only their trailing batch+(h,h) dims participate in the element shape
+    nb = iS_like.ndim - 1
+    bshape = jnp.broadcast_shapes(
+        invQ.shape[max(0, invQ.ndim - nb):], iS_like.shape[1:]
+    )
     dtype = iS_like.dtype
 
     def bcast(x, shape):
