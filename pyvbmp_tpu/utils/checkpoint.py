@@ -27,15 +27,28 @@ def _is_pytree_node(x):
     return all(hasattr(l, "dtype") or np.isscalar(l) for l in leaves)
 
 
-def model_state(model):
-    """Collect the pytree-valued attributes of a stateful model shell."""
+def model_state(model, _prefix="", _depth=0):
+    """Collect the pytree-valued attributes of a stateful model shell.
+
+    Recurses (two levels) into nested stateful shells — e.g. NLDS holds an
+    MNLR transition shell whose ``beta`` node is the actual state, MixLDS
+    holds an inner LDS shell — using dotted keys so ``load`` can restore
+    nested attributes in place."""
     state = {}
     for name, val in vars(model).items():
         if name.startswith("_") or name in ("ELBO_save",):
             continue
+        key = _prefix + name
         try:
             if _is_pytree_node(val):
-                state[name] = val
+                state[key] = val
+            elif (
+                _depth < 2
+                and hasattr(val, "__dict__")
+                and not isinstance(val, type)
+                and not callable(val)
+            ):
+                state.update(model_state(val, key + ".", _depth + 1))
         except Exception:
             continue
     return state
@@ -81,5 +94,9 @@ def load(model, path, use_orbax=False):
             blob["treedef"], [jax.numpy.asarray(l) for l in blob["leaves"]]
         )
     for name, val in state.items():
-        setattr(model, name, val)
+        target = model
+        parts = name.split(".")
+        for part in parts[:-1]:
+            target = getattr(target, part)
+        setattr(target, parts[-1], val)
     return model

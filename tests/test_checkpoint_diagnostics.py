@@ -76,3 +76,26 @@ def test_assert_finite_and_report():
         assert False, "should have raised"
     except FloatingPointError as e:
         assert "pi" in str(e)
+
+
+def test_checkpoint_nested_shells(tmp_path):
+    """Models holding stateful sub-shells (NLDS -> MNLR transition,
+    MixLDS -> inner LDS) roundtrip their nested nodes."""
+    import jax.numpy as jnp
+
+    from pyvbmp_tpu.models import MixtureofLinearDynamicalSystems
+    from pyvbmp_tpu.utils import checkpoint, rng
+
+    rs = np.random.RandomState(1)
+    y = jnp.asarray(rs.randn(25, 6, 3), jnp.float32)
+    rng.seed(0)
+    a = MixtureofLinearDynamicalSystems(2, (3,), 2, 0, 0)
+    a.update(y, iters=2)
+    pth = str(tmp_path / "mix.pkl")
+    checkpoint.save(a, pth)
+    rng.seed(9)
+    b = MixtureofLinearDynamicalSystems(2, (3,), 2, 0, 0)
+    checkpoint.load(b, pth)
+    a.update(y, iters=1)
+    b.update(y, iters=1)
+    assert abs(a.ELBO_save[-1] - b.ELBO_save[-1]) < 1e-2
