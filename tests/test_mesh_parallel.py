@@ -66,3 +66,23 @@ def test_shard_batch_places_on_axis():
     # the batch axis is split: each device holds 16/8 = 2 rows
     shard_shapes = {s.data.shape for s in xs.addressable_shards}
     assert shard_shapes == {(4, 2, 3)}
+
+
+def test_sharded_mixlds_matches_single_device():
+    from pyvbmp_tpu.models import MixtureofLinearDynamicalSystems
+
+    rs = np.random.RandomState(2)
+    y = jnp.asarray(rs.randn(20, 16, 3), jnp.float32)
+
+    rng.seed(5)
+    a = MixtureofLinearDynamicalSystems(2, (3,), 2, 0, 0)
+    a.update(y, iters=2)
+
+    rng.seed(5)
+    b = MixtureofLinearDynamicalSystems(2, (3,), 2, 0, 0)
+    yb = shard_batch(make_mesh(), y, 1)
+    b.update(yb, iters=2)
+
+    np.testing.assert_allclose(
+        np.asarray(a.ELBO_save), np.asarray(b.ELBO_save), rtol=2e-5
+    )
