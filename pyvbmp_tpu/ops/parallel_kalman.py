@@ -25,10 +25,9 @@ import jax.numpy as jnp
 from ..utils import math as um
 from ..utils.linalg import (
     mT,
-    small_inv,
-    small_inv_and_logdet,
-    small_solve,
-    small_solve_and_logdet,
+    sym_inv,
+    sym_inv_and_logdet,
+    sym_solve_and_logdet,
 )
 
 
@@ -39,9 +38,9 @@ def _combine(e1, e2):
     h = J1bb.shape[-1]
     M = J1bb + J2aa
     hmid = h1b + h2a
-    # one Cholesky solve against the stacked right-hand sides
+    # one symmetric straight-line solve against the stacked right-hand sides
     rhs = jnp.concatenate([mT(J1ab), J2ab, hmid], -1)
-    sol, logdetM = small_solve_and_logdet(M, rhs)
+    sol, logdetM = sym_solve_and_logdet(M, rhs)
     Minv_J1abT = sol[..., :h]
     Minv_J2ab = sol[..., h : 2 * h]
     Minv_h = sol[..., 2 * h :]
@@ -64,7 +63,7 @@ def _marginalize_left(Jaa, Jab, Jbb, ha, hb, w):
     """Integrate out the a-side -> potential over b."""
     h = Jaa.shape[-1]
     rhs = jnp.concatenate([Jab, ha], -1)
-    sol, logdetA = small_solve_and_logdet(Jaa, rhs)
+    sol, logdetA = sym_solve_and_logdet(Jaa, rhs)
     Ainv_Jab = sol[..., :h]
     Ainv_ha = sol[..., h:]
     J = Jbb - mT(Jab) @ Ainv_Jab
@@ -76,7 +75,7 @@ def _marginalize_left(Jaa, Jab, Jbb, ha, hb, w):
 def _marginalize_right(Jaa, Jab, Jbb, ha, hb, w):
     h = Jbb.shape[-1]
     rhs = jnp.concatenate([mT(Jab), hb], -1)
-    sol, logdetD = small_solve_and_logdet(Jbb, rhs)
+    sol, logdetD = sym_solve_and_logdet(Jbb, rhs)
     Dinv_JabT = sol[..., :h]
     Dinv_hb = sol[..., h:]
     J = Jaa - Jab @ Dinv_JabT
@@ -162,11 +161,11 @@ def parallel_kalman_smoother(parms, x0, like, u):
     # smoothed marginals
     Js = Ja + Jbeta
     hs = hva + hbeta
-    Sigma, _ld = small_inv_and_logdet(Js)
+    Sigma, _ld = sym_inv_and_logdet(Js)
     mu = Sigma @ hs
 
     # prior-side marginal q(x_{-1}) (prior folded into element 0)
-    Sigma_x0_x0 = small_inv(Jb_all[0])
+    Sigma_x0_x0 = sym_inv(Jb_all[0])
     mu_x0 = Sigma_x0_x0 @ hvb_all[0]
 
     # pairwise cross-covariances Sigma_{t-1,t} (including x_{-1}..x_0 at t=0)
@@ -174,15 +173,15 @@ def parallel_kalman_smoother(parms, x0, like, u):
     A = Jalpha_prev + Jaa
     B = Jab
     D = Jbb + Jbeta
-    Ainv_B = small_solve(A, B)
-    Sbb = small_inv(D - mT(B) @ Ainv_B)
+    Ainv_B = sym_inv(A) @ B
+    Sbb = sym_inv(D - mT(B) @ Ainv_B)
     Sigma_cross_all = -Ainv_B @ Sbb  # (T,) Sigma_{t-1,t}
     Sigma_x0_cross = Sigma_cross_all[0]
     Sigma_cross = Sigma_cross_all[1:]
 
     # total logZ from the last filtered potential
     hfin = Ja[-1].shape[-1]
-    sol, logdetJ = small_solve_and_logdet(Ja[-1], hva[-1])
+    sol, logdetJ = sym_solve_and_logdet(Ja[-1], hva[-1])
     logZ_total = (
         logca[-1]
         + 0.5 * (hva[-1] * sol).sum((-1, -2))

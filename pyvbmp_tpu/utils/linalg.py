@@ -165,6 +165,87 @@ def small_solve_and_logdet(A, B):
     return inv @ B, ld
 
 
+# --- symmetric-specialized straight-line inverses ---------------------------
+# The associative-scan smoothers invert symmetric PD matrices in every combine
+# stage; exploiting A = A^T drops the lower-triangle cofactors and one
+# (k,k)@(k,n-k) matmul per Schur recursion level.
+
+def _inv2_sym(A):
+    a = A[..., 0, 0]
+    b = A[..., 0, 1]
+    d = A[..., 1, 1]
+    det = a * d - b * b
+    inv = jnp.stack(
+        [jnp.stack([d, -b], -1), jnp.stack([-b, a], -1)], -2
+    ) / det[..., None, None]
+    return inv, jnp.log(det)
+
+
+def _inv3_sym(A):
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    e, f = A[..., 1, 1], A[..., 1, 2]
+    i = A[..., 2, 2]
+    A11 = e * i - f * f
+    A12 = -(b * i - c * f)
+    A13 = b * f - c * e
+    A22 = a * i - c * c
+    A23 = -(a * f - c * b)
+    A33 = a * e - b * b
+    det = a * A11 + b * A12 + c * A13
+    inv = jnp.stack(
+        [
+            jnp.stack([A11, A12, A13], -1),
+            jnp.stack([A12, A22, A23], -1),
+            jnp.stack([A13, A23, A33], -1),
+        ],
+        -2,
+    ) / det[..., None, None]
+    return inv, jnp.log(det)
+
+
+def sym_inv_and_logdet(A):
+    """Inverse + logdet of small SYMMETRIC PD matrices (straight-line)."""
+    n = A.shape[-1]
+    if n == 1:
+        return 1.0 / A, jnp.log(A[..., 0, 0])
+    if n == 2:
+        return _inv2_sym(A)
+    if n == 3:
+        return _inv3_sym(A)
+    k = n // 2
+    A11 = A[..., :k, :k]
+    A12 = A[..., :k, k:]
+    A22 = A[..., k:, k:]
+    inv11, ld11 = sym_inv_and_logdet(A11)
+    inv11_A12 = inv11 @ A12
+    S = A22 - mT(A12) @ inv11_A12
+    S = 0.5 * (S + mT(S))
+    invS, ldS = sym_inv_and_logdet(S)
+    top_right = -inv11_A12 @ invS
+    top_left = inv11 - top_right @ mT(inv11_A12)
+    inv = jnp.concatenate(
+        [
+            jnp.concatenate([top_left, top_right], -1),
+            jnp.concatenate([mT(top_right), invS], -1),
+        ],
+        -2,
+    )
+    return inv, ld11 + ldS
+
+
+def sym_inv(A):
+    return sym_inv_and_logdet(A)[0]
+
+
+def sym_solve(A, B):
+    return sym_inv(A) @ B
+
+
+def sym_solve_and_logdet(A, B):
+    inv, ld = sym_inv_and_logdet(A)
+    return inv @ B, ld
+
+
 # --- block 2x2 matrix algebra (reference utils/matrix_utils.py) -------------
 
 def block_diag_matrix_builder(A, B):
