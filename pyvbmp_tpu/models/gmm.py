@@ -2,7 +2,6 @@
 models/PoissonMixtureModel.py)."""
 from __future__ import annotations
 
-import jax.numpy as jnp
 import jax.random as jr
 
 from ..dists import Gamma, Mixture, NormalGamma, NormalInverseWishart

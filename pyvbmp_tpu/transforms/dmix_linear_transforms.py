@@ -7,7 +7,6 @@ import jax.numpy as jnp
 
 from ..dists.mvn_vector_format import MultivariateNormal_vector_format as MVN_vf
 from ..utils import math as um
-from ..utils.jaxutils import sum_leading
 from ..utils.linalg import mT, psd_logdet
 from .matrix_normal_gamma import MatrixNormalGamma
 from .matrix_normal_wishart import MatrixNormalWishart

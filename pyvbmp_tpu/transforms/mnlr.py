@@ -10,7 +10,7 @@ from ..dists.mvn_ard import MVN_ard
 from ..dists.mvn_vector_format import MultivariateNormal_vector_format as MVN_vf
 from ..utils import math as um
 from ..utils.jaxutils import replace
-from ..utils.linalg import mT, psd_inv, psd_logdet
+from ..utils.linalg import mT, psd_inv
 from ..utils.rng import key_or_next
 
 

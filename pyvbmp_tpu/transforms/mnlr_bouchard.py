@@ -8,7 +8,6 @@ import jax.numpy as jnp
 from .mnlr import highest_precision
 
 from ..dists.mvn_ard import MVN_ard
-from ..utils import math as um
 from ..utils.jaxutils import replace
 from ..utils.linalg import mT
 from ..utils.rng import key_or_next

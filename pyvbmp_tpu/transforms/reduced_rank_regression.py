@@ -9,7 +9,7 @@ from ..dists.delta import Delta
 from ..dists.mvn_vector_format import MultivariateNormal_vector_format as MVN_vf
 from ..dists.normal_gamma import NormalGamma
 from ..utils import math as um
-from ..utils.linalg import mT, psd_inv, psd_logdet
+from ..utils.linalg import psd_inv, psd_logdet
 from .matrix_normal_gamma import MatrixNormalGamma
 from .matrix_normal_wishart import MatrixNormalWishart
 

@@ -8,7 +8,6 @@ list of broadcast-shaped Dirichlets (reference transforms/Hierarchical_Transitio
 """
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 
 from ..dists.dirichlet import Dirichlet
