@@ -27,7 +27,15 @@ from ..dists.mvn_vector_format import MultivariateNormal_vector_format as MVN_vf
 from ..transforms import MatrixNormalGamma, MatrixNormalWishart
 from ..utils import math as um
 from ..utils.jaxutils import sum_leading
-from ..utils.linalg import mT, psd_inv, psd_inv_and_logdet, psd_logdet, psd_solve
+from ..utils.linalg import (
+    mT,
+    psd_inv,
+    psd_inv_and_logdet,
+    psd_logdet,
+    psd_solve,
+    sym_inv,
+    sym_inv_and_logdet,
+)
 from ..utils.rng import key_or_next
 
 
@@ -238,7 +246,11 @@ class LinearDynamicalSystems:
         def fwd_step(carry, inputs):
             invSigma, invSigmamu, Residual = carry
             iS_like, iSm_like, Res_like, U = inputs
-            SigmaStar, logdet_invSigmaStar = psd_inv_and_logdet(invSigma + ATQA_x_x)
+            # straight-line symmetric inverse: looped Cholesky per scan step
+            # is latency-bound on TPU (this swap makes the sequential smoother
+            # competitive with -- and at small batch faster than -- the
+            # parallel associative scan)
+            SigmaStar, logdet_invSigmaStar = sym_inv_and_logdet(invSigma + ATQA_x_x)
             logdetSigmaStar = -logdet_invSigmaStar
             invSigmamu_t = iSm_like + QA_xp_u @ U
             invSigmamu_tm1 = invSigmamu - ATQA_x_u @ U
@@ -257,9 +269,8 @@ class LinearDynamicalSystems:
                 + 0.5 * (mT(invSigmamu_tm1) @ SigmaStar @ invSigmamu_tm1)[..., 0, 0]
                 + 0.5 * logdetSigmaStar
             )
-            mu, logdet_new = psd_solve(invSigma_new, invSigmamu_new), psd_logdet(
-                invSigma_new
-            )
+            Sigma_new, logdet_new = sym_inv_and_logdet(invSigma_new)
+            mu = Sigma_new @ invSigmamu_new
             post_Residual = (
                 -0.5 * (mu * invSigmamu_new)[..., 0].sum(-1)
                 + 0.5 * logdet_new
@@ -305,14 +316,14 @@ class LinearDynamicalSystems:
                 @ jnp.linalg.inv(invGamma + iS_like_tp1 + invQ - corr)
             )
             # backward_step (reference :296-303)
-            Sigma_tp1_tp1 = psd_inv(invQ + iS_like_tp1 + invGamma)
+            Sigma_tp1_tp1 = sym_inv(invQ + iS_like_tp1 + invGamma)
             invGamma_new = ATQA_x_x - mT(QA_xp_x) @ Sigma_tp1_tp1 @ QA_xp_x
             invGammamu_new = -ATQA_x_u @ U_tp1 + mT(QA_xp_x) @ Sigma_tp1_tp1 @ (
                 QA_xp_u @ U_tp1 + iSm_like_tp1 + invGammamu
             )
             invSigma_sm = fw_iS_t + invGamma_new
             invSigmamu_sm = fw_iSm_t + invGammamu_new
-            Sigma_sm = psd_inv(invSigma_sm)
+            Sigma_sm = sym_inv(invSigma_sm)
             mu_sm = Sigma_sm @ invSigmamu_sm
             return (invGamma_new, invGammamu_new), (
                 Sigma_sm,

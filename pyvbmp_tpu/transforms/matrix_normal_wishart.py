@@ -108,11 +108,12 @@ class MatrixNormalWishart:
                 )
         if mask is not None:
             mask = np.asarray(mask)
+            from ..utils.jaxutils import HashableArray
             if pad_X:
                 mask = np.concatenate(
                     [mask, np.ones(mask.shape[:-1] + (1,), bool)], -1
                 )
-            mask = mask > 0
+            mask = HashableArray(mask > 0)
 
         new = cls(
             mu_0=mu_0,

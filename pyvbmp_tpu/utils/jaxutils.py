@@ -53,6 +53,61 @@ def pytree_dataclass(cls=None, *, meta_fields: tuple = ()):
     return wrap(cls)
 
 
+class HashableArray:
+    """Immutable numpy array usable as pytree METADATA.
+
+    Static aux data must hash and compare with simple (bool) equality; a raw
+    numpy array hashes only by object identity and its ``==`` is elementwise,
+    so two models built with equal masks raise "truth value of an array is
+    ambiguous" inside the jit signature check. This wrapper compares by value
+    and exposes enough of the array interface (shape / reshape / ~ /
+    __array__) for the static-mask code paths."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, a):
+        import numpy as _np
+
+        arr = _np.asarray(a)
+        arr.setflags(write=False)
+        object.__setattr__(self, "arr", arr)
+
+    def __eq__(self, other):
+        import numpy as _np
+
+        if not isinstance(other, HashableArray):
+            return NotImplemented
+        return (
+            self.arr.shape == other.arr.shape
+            and self.arr.dtype == other.arr.dtype
+            and bool(_np.array_equal(self.arr, other.arr))
+        )
+
+    def __hash__(self):
+        return hash((self.arr.shape, str(self.arr.dtype), self.arr.tobytes()))
+
+    def __array__(self, dtype=None, copy=None):
+        import numpy as _np
+
+        return _np.asarray(self.arr, dtype)
+
+    @property
+    def shape(self):
+        return self.arr.shape
+
+    def reshape(self, *a):
+        return self.arr.reshape(*a)
+
+    def __invert__(self):
+        return ~self.arr
+
+    def __getitem__(self, i):
+        return self.arr[i]
+
+    def __repr__(self):
+        return f"HashableArray({self.arr!r})"
+
+
 def strongify(node):
     """Strip weak_type from every array leaf (same dtype).
 
