@@ -16,8 +16,19 @@ backward messages, and marginals/cross-covariances/logZ come out in closed
 form.  Potentials are built to match the reference LDS bookkeeping exactly
 (models/LinearDynamicalSystems.py:244-330), so the *total* logZ agrees with
 the sequential path; only float association order differs.
+
+Two data layouts:
+
+- **lane form** (default for h <= PYVBMP_LANE_KALMAN_MAX_H, see ops.smallmat):
+  every h x h matrix is split into per-component (T, N) arrays with the
+  flattened batch N on the TPU lanes; the combine is straight-line
+  elementwise code. Dense (..., h, h) layout puts the tiny matrix dims on
+  the (8, 128) memory tile — measured ~60x off the bandwidth bound.
+- **dense form** (large h fallback): batched (..., h, h) ops.
 """
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,8 +40,64 @@ from ..utils.linalg import (
     sym_inv_and_logdet,
     sym_solve_and_logdet,
 )
+from . import smallmat as sm
+
+# lane form wins whenever the per-combine straight-line code stays small;
+# above this the metaprogrammed Schur recursion bloats the HLO graph and
+# compile time with little runtime payoff.
+LANE_KALMAN_MAX_H = int(os.environ.get("PYVBMP_LANE_KALMAN_MAX_H", "8"))
 
 
+def _build_elements(parms, x0, like, u):
+    """Dense pairwise potentials (Jaa, Jab, Jbb, ha, hb, logw), broadcast to
+    (T,) + bshape, with the x_{-1} prior folded into element 0 (the
+    reference's x0 carry, LinearDynamicalSystems.py:350-356)."""
+    iS_like, iSm_like, Res_like = like
+    T = iS_like.shape[0]
+    hdim = parms["invQ"].shape[-1]
+    invQ = parms["invQ"]
+
+    # parms may be time-varying (leading T axis, e.g. switching-LDS mixtures):
+    # only their trailing batch+(h,h) dims participate in the element shape
+    nb = iS_like.ndim - 1
+    bshape = jnp.broadcast_shapes(
+        invQ.shape[max(0, invQ.ndim - nb):], iS_like.shape[1:]
+    )
+
+    def bcast(x, shape):
+        return jnp.broadcast_to(x, (T,) + shape)
+
+    Jaa = bcast(parms["ATQA_x_x"], bshape)
+    Jab = bcast(-mT(parms["QA_xp_x"]), bshape)
+    Jbb = bcast(invQ, bshape) + iS_like
+    ha = jnp.broadcast_to(
+        -parms["ATQA_x_u"] @ u, (T,) + bshape[:-1] + (1,)
+    )
+    hb = jnp.broadcast_to(
+        iSm_like + parms["QA_xp_u"] @ u, (T,) + bshape[:-1] + (1,)
+    )
+    logw = (
+        Res_like
+        - 0.5 * (mT(u) @ parms["ATQA_u_u"] @ u)[..., 0, 0]
+        + 0.5 * parms["ElogdetinvQ"]
+        - 0.5 * hdim * um.LOG2PI
+    )
+    logw = jnp.broadcast_to(logw, (T,) + bshape[:-2])
+
+    J0 = x0.EinvSigma()
+    h0 = x0.EinvSigmamu()[..., None]
+    R0 = (
+        -0.5 * x0.EXTinvUX()
+        + 0.5 * x0.ElogdetinvSigma()
+        - 0.5 * hdim * um.LOG2PI
+    )
+    Jaa = Jaa.at[0].add(J0)
+    ha = ha.at[0].add(jnp.broadcast_to(h0, ha.shape[1:]))
+    logw = logw.at[0].add(jnp.broadcast_to(R0, logw.shape[1:]))
+    return (Jaa, Jab, Jbb, ha, hb, logw), bshape, T, hdim
+
+
+# =========================================================== dense layout path
 def _combine(e1, e2):
     """Marginalize the middle variable of two adjacent pairwise potentials."""
     J1aa, J1ab, J1bb, h1a, h1b, w1 = e1
@@ -84,63 +151,8 @@ def _marginalize_right(Jaa, Jab, Jbb, ha, hb, w):
     return J, hv, logc
 
 
-def parallel_kalman_smoother(parms, x0, like, u):
-    """Drop-in replacement for the sequential forward_backward_loop
-    (models/lds.py): returns (px_parts, Sigma_cross, Sigma_x0_cross,
-    Sigma_x0_x0, mu_x0, logZ_total).
-
-    parms: dict from LinearDynamicalSystems._latent_parms
-    like:  (invSigma_like, invSigmamu_like, Residual_like), each (T,)+...
-    u:     (T,)+...+(control,1)
-    """
-    iS_like, iSm_like, Res_like = like
-    T = iS_like.shape[0]
-    hdim = parms["invQ"].shape[-1]
-    invQ = parms["invQ"]
-    ATQA_x_x = parms["ATQA_x_x"]
-    ATQA_x_u = parms["ATQA_x_u"]
-    ATQA_u_u = parms["ATQA_u_u"]
-    QA_xp_x = parms["QA_xp_x"]
-    QA_xp_u = parms["QA_xp_u"]
-
-    # parms may be time-varying (leading T axis, e.g. switching-LDS mixtures):
-    # only their trailing batch+(h,h) dims participate in the element shape
-    nb = iS_like.ndim - 1
-    bshape = jnp.broadcast_shapes(
-        invQ.shape[max(0, invQ.ndim - nb):], iS_like.shape[1:]
-    )
-    dtype = iS_like.dtype
-
-    def bcast(x, shape):
-        return jnp.broadcast_to(x, (T,) + shape)
-
-    Jaa = bcast(ATQA_x_x, bshape)
-    Jab = bcast(-mT(QA_xp_x), bshape)
-    Jbb = bcast(invQ, bshape) + iS_like
-    ha = jnp.broadcast_to(-ATQA_x_u @ u, (T,) + bshape[:-1] + (1,))
-    hb = iSm_like + QA_xp_u @ u
-    logw = (
-        Res_like
-        - 0.5 * (mT(u) @ ATQA_u_u @ u)[..., 0, 0]
-        + 0.5 * parms["ElogdetinvQ"]
-        - 0.5 * hdim * um.LOG2PI
-    )
-    logw = jnp.broadcast_to(logw, (T,) + bshape[:-2])
-
-    # fold the x_{-1} prior into element 0 (the reference's x0 carry,
-    # LinearDynamicalSystems.py:350-356)
-    J0 = x0.EinvSigma()
-    h0 = x0.EinvSigmamu()[..., None]
-    R0 = (
-        -0.5 * x0.EXTinvUX()
-        + 0.5 * x0.ElogdetinvSigma()
-        - 0.5 * hdim * um.LOG2PI
-    )
-    Jaa = Jaa.at[0].add(J0)
-    ha = ha.at[0].add(jnp.broadcast_to(h0, ha.shape[1:]))
-    logw = logw.at[0].add(jnp.broadcast_to(R0, logw.shape[1:]))
-
-    elems = (Jaa, Jab, Jbb, ha, hb, logw)
+def _dense_smoother(elems, bshape, T, hdim):
+    (Jaa, Jab, Jbb, ha, hb, logw) = elems
     prefix = jax.lax.associative_scan(_combine, elems, axis=0)
     # reverse=True passes operands as (later, earlier); flip to keep
     # chain order so the marginalized middle variable is the shared one
@@ -180,12 +192,181 @@ def parallel_kalman_smoother(parms, x0, like, u):
     Sigma_cross = Sigma_cross_all[1:]
 
     # total logZ from the last filtered potential
-    hfin = Ja[-1].shape[-1]
     sol, logdetJ = sym_solve_and_logdet(Ja[-1], hva[-1])
     logZ_total = (
         logca[-1]
         + 0.5 * (hva[-1] * sol).sum((-1, -2))
         - 0.5 * logdetJ
-        + 0.5 * hfin * um.LOG2PI
+        + 0.5 * hdim * um.LOG2PI
     )
     return (Sigma, mu, Js, hs), Sigma_cross, Sigma_x0_cross, Sigma_x0_x0, mu_x0, logZ_total
+
+
+# ============================================================ lane layout path
+def _combine_lane(h, e1, e2):
+    """_combine in component form: straight-line elementwise ops only."""
+    J1aa, J1ab, J1bb, h1a, h1b, w1 = e1
+    J2aa, J2ab, J2bb, h2a, h2b, w2 = e2
+    M = sm.sym_add(J1bb, J2aa)
+    hmid = [a + b for a, b in zip(h1b, h2a)]
+    Minv, logdetM = sm.sym_inv_and_logdet(h, M)
+    Minv_J1abT = sm.mm(h, Minv, J1ab, sym_a=True, t_b=True)
+    Minv_J2ab = sm.mm(h, Minv, J2ab, sym_a=True)
+    Minv_h = sm.mv(h, Minv, hmid, sym_a=True)
+    J1ab_Minv_J1abT = sm.mm(h, J1ab, Minv_J1abT, sym_out=True)
+    Jaa = sm.sym_sub(J1aa, J1ab_Minv_J1abT)
+    J2abT_Minv_J2ab = sm.mm(h, J2ab, Minv_J2ab, t_a=True, sym_out=True)
+    Jbb = sm.sym_sub(J2bb, J2abT_Minv_J2ab)
+    J1ab_Minv_J2ab = sm.mm(h, J1ab, Minv_J2ab)
+    Jab = {k: -v for k, v in J1ab_Minv_J2ab.items()}
+    ha = [a - b for a, b in zip(h1a, sm.mv(h, J1ab, Minv_h))]
+    hb = [a - b for a, b in zip(h2b, sm.mv(h, J2ab, Minv_h, t_a=True))]
+    w = (
+        w1
+        + w2
+        + 0.5 * sm.vdot(hmid, Minv_h)
+        - 0.5 * logdetM
+        + 0.5 * h * um.LOG2PI
+    )
+    return (Jaa, Jab, Jbb, ha, hb, w)
+
+
+def _marginalize_left_lane(h, e):
+    Jaa, Jab, Jbb, ha, hb, w = e
+    Ainv, logdetA = sm.sym_inv_and_logdet(h, Jaa)
+    Ainv_Jab = sm.mm(h, Ainv, Jab, sym_a=True)
+    Ainv_ha = sm.mv(h, Ainv, ha, sym_a=True)
+    J = sm.sym_sub(Jbb, sm.mm(h, Jab, Ainv_Jab, t_a=True, sym_out=True))
+    hv = [a - b for a, b in zip(hb, sm.mv(h, Jab, Ainv_ha, t_a=True))]
+    logc = w + 0.5 * sm.vdot(ha, Ainv_ha) - 0.5 * logdetA + 0.5 * h * um.LOG2PI
+    return J, hv, logc
+
+
+def _marginalize_right_lane(h, e):
+    Jaa, Jab, Jbb, ha, hb, w = e
+    Dinv, logdetD = sm.sym_inv_and_logdet(h, Jbb)
+    Dinv_JabT = sm.mm(h, Dinv, Jab, sym_a=True, t_b=True)
+    Dinv_hb = sm.mv(h, Dinv, hb, sym_a=True)
+    J = sm.sym_sub(Jaa, sm.mm(h, Jab, Dinv_JabT, sym_out=True))
+    hv = [a - b for a, b in zip(ha, sm.mv(h, Jab, Dinv_hb))]
+    logc = w + 0.5 * sm.vdot(hb, Dinv_hb) - 0.5 * logdetD + 0.5 * h * um.LOG2PI
+    return J, hv, logc
+
+
+def _shift_up(x, T):
+    """x[t] <- x[t+1], zero-filled at t=T-1 (per component leaf)."""
+    return jax.tree.map(
+        lambda a: jnp.concatenate([a[1:], jnp.zeros_like(a[:1])], 0), x
+    )
+
+
+def _lane_smoother(elems, bshape, T, h):
+    (Jaa_d, Jab_d, Jbb_d, ha_d, hb_d, logw_d) = elems
+    N = 1
+    for s in bshape[:-2]:
+        N *= s
+
+    def flat(x):
+        return x.reshape((T, N))
+
+    # pack into component form, flattened batch on the lanes
+    Jaa = {k: flat(v) for k, v in sm.sym_pack(Jaa_d).items()}
+    Jbb = {k: flat(v) for k, v in sm.sym_pack(Jbb_d).items()}
+    Jab = {k: flat(v) for k, v in sm.gen_pack(Jab_d).items()}
+    ha = [flat(v) for v in sm.vec_pack(ha_d)]
+    hb = [flat(v) for v in sm.vec_pack(hb_d)]
+    logw = flat(logw_d)
+    elems_l = (Jaa, Jab, Jbb, ha, hb, logw)
+
+    prefix = jax.lax.associative_scan(
+        lambda a, b: _combine_lane(h, a, b), elems_l, axis=0
+    )
+    suffix = jax.lax.associative_scan(
+        lambda a, b: _combine_lane(h, b, a), elems_l, axis=0, reverse=True
+    )
+
+    Ja, hva, logca = _marginalize_left_lane(h, prefix)
+    Jb_all, hvb_all, _ = _marginalize_right_lane(h, suffix)
+    Jbeta = _shift_up(Jb_all, T)
+    hbeta = _shift_up(hvb_all, T)
+
+    # smoothed marginals
+    Js = sm.sym_add(Ja, Jbeta)
+    hs = [a + b for a, b in zip(hva, hbeta)]
+    Sigma, _ld = sm.sym_inv_and_logdet(h, Js)
+    mu = sm.mv(h, Sigma, hs, sym_a=True)
+
+    # prior-side marginal q(x_{-1})
+    Jb0 = {k: v[0] for k, v in Jb_all.items()}
+    hvb0 = [v[0] for v in hvb_all]
+    Sigma_x0_x0, _ = sm.sym_inv_and_logdet(h, Jb0)
+    mu_x0 = sm.mv(h, Sigma_x0_x0, hvb0, sym_a=True)
+
+    # pairwise cross-covariances Sigma_{t-1,t}
+    Jalpha_prev = jax.tree.map(
+        lambda a: jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], 0), Ja
+    )
+    A = sm.sym_add(Jalpha_prev, Jaa)
+    D = sm.sym_add(Jbb, Jbeta)
+    Ainv, _ = sm.sym_inv_and_logdet(h, A)
+    Ainv_B = sm.mm(h, Ainv, Jab, sym_a=True)
+    BT_Ainv_B = sm.mm(h, Jab, Ainv_B, t_a=True, sym_out=True)
+    Sbb, _ = sm.sym_inv_and_logdet(h, sm.sym_sub(D, BT_Ainv_B))
+    Sigma_cross_all = sm.mm(h, Ainv_B, Sbb, sym_b=True)
+    Sigma_cross_all = {k: -v for k, v in Sigma_cross_all.items()}
+
+    # total logZ from the last filtered potential
+    Ja_last = {k: v[-1] for k, v in Ja.items()}
+    hva_last = [v[-1] for v in hva]
+    JaInv, logdetJ = sm.sym_inv_and_logdet(h, Ja_last)
+    sol = sm.mv(h, JaInv, hva_last, sym_a=True)
+    logZ_total = (
+        logca[-1]
+        + 0.5 * sm.vdot(hva_last, sol)
+        - 0.5 * logdetJ
+        + 0.5 * h * um.LOG2PI
+    )
+
+    # unpack back to dense (T,)+bshape layout
+    def unflat_t(x, trail):
+        return x.reshape((T,) + bshape[:-2] + trail)
+
+    def unflat(x, trail):
+        return x.reshape(bshape[:-2] + trail)
+
+    Sigma_d = unflat_t(sm.sym_unpack(Sigma, h), (h, h))
+    mu_d = unflat_t(sm.vec_unpack(mu), (h, 1))
+    Js_d = unflat_t(sm.sym_unpack(Js, h), (h, h))
+    hs_d = unflat_t(sm.vec_unpack(hs), (h, 1))
+    Sigma_cross_d = unflat_t(sm.gen_unpack(Sigma_cross_all, h), (h, h))
+    Sigma_x0_cross = Sigma_cross_d[0]
+    Sigma_cross = Sigma_cross_d[1:]
+    Sigma_x0_x0_d = unflat(sm.sym_unpack(Sigma_x0_x0, h), (h, h))
+    mu_x0_d = unflat(sm.vec_unpack(mu_x0), (h, 1))
+    logZ_d = logZ_total.reshape(bshape[:-2])
+    return (
+        (Sigma_d, mu_d, Js_d, hs_d),
+        Sigma_cross,
+        Sigma_x0_cross,
+        Sigma_x0_x0_d,
+        mu_x0_d,
+        logZ_d,
+    )
+
+
+def parallel_kalman_smoother(parms, x0, like, u, lane_form=None):
+    """Drop-in replacement for the sequential forward_backward_loop
+    (models/lds.py): returns (px_parts, Sigma_cross, Sigma_x0_cross,
+    Sigma_x0_x0, mu_x0, logZ_total).
+
+    parms: dict from LinearDynamicalSystems._latent_parms
+    like:  (invSigma_like, invSigmamu_like, Residual_like), each (T,)+...
+    u:     (T,)+...+(control,1)
+    lane_form: force the component-layout path on/off (default: h-based).
+    """
+    elems, bshape, T, hdim = _build_elements(parms, x0, like, u)
+    if lane_form is None:
+        lane_form = hdim <= LANE_KALMAN_MAX_H
+    if lane_form:
+        return _lane_smoother(elems, bshape, T, hdim)
+    return _dense_smoother(elems, bshape, T, hdim)

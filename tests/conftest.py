@@ -13,6 +13,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent jit cache: the suite is compile-dominated on this 1-core box
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
