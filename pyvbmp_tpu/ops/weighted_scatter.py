@@ -42,7 +42,7 @@ def _kernel(w_ref, x_ref, o_ref):
     o_ref[...] += jnp.dot(xw.T, x, preferred_element_type=jnp.float32)[None]
 
 
-def weighted_outer_pallas(X, W, s_tile=512):
+def weighted_outer_pallas(X, W, s_tile=512, interpret=False):
     """X: (S, p) float32, W: (S, K) float32 -> (K, p, p)."""
     S, p = X.shape
     K = W.shape[-1]
@@ -63,6 +63,7 @@ def weighted_outer_pallas(X, W, s_tile=512):
             (1, P, P), lambda k, s: (k, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((K, P, P), jnp.float32),
+        interpret=interpret,
     )(Wp, Xp)
     return out[:, :p, :p]
 
@@ -77,10 +78,10 @@ def weighted_outer_einsum(X, W):
     return O.reshape(K, p, p)
 
 
-def weighted_outer(X, W, force=None):
+def weighted_outer(X, W, force=None, interpret=False):
     """Dispatching entry point; X (S,p), W (S,K) -> (K,p,p)."""
     if force == "pallas":
-        return weighted_outer_pallas(X, W)
+        return weighted_outer_pallas(X, W, interpret=interpret)
     if force == "einsum":
         return weighted_outer_einsum(X, W)
     on_tpu = jax.default_backend() not in ("cpu",)

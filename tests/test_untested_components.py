@@ -1,0 +1,137 @@
+"""Coverage for the three components VERDICT r1 flagged as implemented-but-
+untested: Factorial_HMM, MultivariateNormal (matrix layout), and the Pallas
+weighted-outer scatter kernel."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyvbmp_tpu.dists.mvn_matrix_format import MultivariateNormal
+from pyvbmp_tpu.models.tensor_hmm import Factorial_HMM
+from pyvbmp_tpu.ops.weighted_scatter import (
+    weighted_outer,
+    weighted_outer_einsum,
+)
+from pyvbmp_tpu.utils import rng
+
+
+# ------------------------------------------------------------- Factorial_HMM
+def test_factorial_hmm_fit_and_transition_factorization():
+    """Two independent binary chains with distinct Gaussian emissions.
+
+    Checks (a) the VB-EM loop runs with a non-decreasing ELBO and (b) the
+    M-step projection (reference models/Factorial_HMM.py:24-36) leaves the
+    transition posterior in exactly factorized form: re-applying the
+    projection is the identity on the updated alpha.
+    """
+    rng.seed(0)
+    key = jax.random.key(0)
+    T, B = 60, 8
+    k1, k2, k3 = jax.random.split(key, 3)
+    # two sticky independent binary chains
+    def chain(k):
+        def step(z, kt):
+            flip = jax.random.bernoulli(kt, 0.1, z.shape)
+            return jnp.where(flip, 1 - z, z), z
+        _, zs = jax.lax.scan(step, jnp.zeros((B,), jnp.int32),
+                             jax.random.split(k, T))
+        return zs
+    z1, z2 = chain(k1), chain(k2)
+    means = jnp.asarray([[-2.0, -2.0], [2.0, 2.0]])
+    y = (
+        means[z1]
+        + jnp.asarray([[0.0, -3.0], [0.0, 3.0]])[z2]
+        + 0.3 * jax.random.normal(k3, (T, B, 2))
+    )
+
+    m = Factorial_HMM(2, (2,), (2,))
+    m.update(y, iters=8)
+    e = np.asarray(m.ELBO_save, dtype=np.float64)
+    rel = np.diff(e) / np.abs(e[:-1])
+    assert (rel[1:] > -1e-5).all(), e
+
+    # the projection itself must implement the reference formula
+    # alpha <- sum_i alpha.mean(marg_dims_i, keepdim) / num_factors
+    from pyvbmp_tpu.utils.jaxutils import replace
+
+    rs = np.random.RandomState(2)
+    araw = rs.rand(2, 2, 2, 2).astype(np.float32) + 0.5
+    proj = m._post_markov_update(replace(m.transition, alpha=jnp.asarray(araw)))
+    expect = araw.mean(axis=(1, 3), keepdims=True) / 2 + araw.mean(
+        axis=(0, 2), keepdims=True
+    ) / 2
+    np.testing.assert_allclose(
+        np.asarray(proj.alpha), np.broadcast_to(expect, araw.shape), rtol=1e-6
+    )
+
+    # and the fitted transition posterior must carry the factorized structure:
+    # alpha[i,j,k,l] = f(i,k) + g(j,l)  (additively separable across factors)
+    a = np.asarray(m.transition.alpha)
+    sep = a - a[:, :1, :, :1] - a[:1, :, :1, :] + a[:1, :1, :1, :1]
+    np.testing.assert_allclose(sep, np.zeros_like(sep), atol=1e-4 * np.abs(a).max())
+
+
+# ----------------------------------------------- MVN matrix layout (dists/)
+def test_mvn_matrix_format_updates_and_elog_like():
+    """ss_update / raw_update / Elog_like vs the reference formulas
+    (reference dists/MultivariateNormal.py:70-112), hand-computed in numpy."""
+    rng.seed(0)
+    d, S, K = 3, 200, 2
+    rs = np.random.RandomState(0)
+    X = rs.randn(S, K, d).astype(np.float32)
+    p = rs.rand(S, K).astype(np.float32)
+
+    mvn = MultivariateNormal(
+        mu=jnp.zeros((K, d)), Sigma=jnp.broadcast_to(jnp.eye(d), (K, d, d))
+    )
+
+    # raw_update without weights: moment matching over the sample axis
+    up = mvn.raw_update(jnp.asarray(X))
+    mu_np = X.mean(0)
+    Sig_np = np.einsum("ski,skj->kij", X, X) / S - np.einsum(
+        "ki,kj->kij", mu_np, mu_np
+    )
+    np.testing.assert_allclose(np.asarray(up.mean()), mu_np, rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(up.ESigma()), Sig_np, rtol=2e-4, atol=1e-5)
+
+    # weighted raw_update
+    upw = mvn.raw_update(jnp.asarray(X), p=jnp.asarray(p))
+    n = p.sum(0)
+    muw = np.einsum("sk,ski->ki", p, X) / n[:, None]
+    Sigw = np.einsum("sk,ski,skj->kij", p, X, X) / n[:, None, None] - np.einsum(
+        "ki,kj->kij", muw, muw
+    )
+    np.testing.assert_allclose(np.asarray(upw.mean()), muw, rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(upw.ESigma()), Sigw, rtol=2e-4, atol=1e-5)
+
+    # Elog_like on the fitted node
+    ll = np.asarray(upw.Elog_like(jnp.asarray(X)))
+    iS = np.linalg.inv(Sigw)
+    dd = X - muw
+    ll_np = (
+        -0.5 * np.einsum("ski,kij,skj->sk", dd, iS, dd)
+        - 0.5 * d * np.log(2 * np.pi)
+        + 0.5 * np.linalg.slogdet(iS)[1]
+    )
+    np.testing.assert_allclose(ll, ll_np, rtol=1e-4, atol=1e-4)
+
+    # EXXT consistency
+    np.testing.assert_allclose(
+        np.asarray(upw.EXXT()),
+        Sigw + np.einsum("ki,kj->kij", muw, muw),
+        rtol=2e-4,
+        atol=1e-5,
+    )
+
+
+# --------------------------------------------------- Pallas weighted scatter
+@pytest.mark.parametrize("S,p,K", [(512, 8, 3), (1024, 33, 5)])
+def test_weighted_outer_pallas_interpret_matches_einsum(S, p, K):
+    """The Pallas kernel (interpret mode on CPU) must agree with the einsum
+    formulation it replaces on TPU (SURVEY §7 kernel priority #1)."""
+    rs = np.random.RandomState(1)
+    X = jnp.asarray(rs.randn(S, p).astype(np.float32))
+    W = jnp.asarray(rs.rand(S, K).astype(np.float32))
+    ref = weighted_outer_einsum(X, W)
+    out = weighted_outer(X, W, force="pallas", interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
