@@ -513,18 +513,35 @@ def parity_nlr_orig(iters=6):
     report("nlr_orig", refs, ours)
 
 
+CASES = {
+    "gmm": parity_gmm,
+    "hmm": parity_hmm,
+    "lds": parity_lds,
+    "mnw": parity_mnw,
+    "mnlr": parity_mnlr,
+    "dmbd": parity_dmbd,
+    "gmm_isotropic": parity_gmm_isotropic,
+    "arhmm": parity_arhmm,
+    "mixlds": parity_mixlds,
+    "hdir": parity_hdir,
+    "nlr_orig": parity_nlr_orig,
+}
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "gmm"
-    {
-        "gmm": parity_gmm,
-        "hmm": parity_hmm,
-        "lds": parity_lds,
-        "mnw": parity_mnw,
-        "mnlr": parity_mnlr,
-        "dmbd": parity_dmbd,
-        "gmm_isotropic": parity_gmm_isotropic,
-        "arhmm": parity_arhmm,
-        "mixlds": parity_mixlds,
-        "hdir": parity_hdir,
-        "nlr_orig": parity_nlr_orig,
-    }[which]()
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    if which == "all":
+        # one process for every oracle (amortizes the ~30s jax+torch import;
+        # this is the default-gate path, tests/test_parity_subprocess.py).
+        # The oracles reach machine epsilon within 2-3 iterations; the
+        # per-case defaults exist for by-hand deep runs.
+        import time
+
+        for name, fn in CASES.items():
+            t0 = time.perf_counter()
+            print(f"=== {name} ===")
+            fn(**({"iters": iters} if iters else {}))
+            print(f"=== {name} done in {time.perf_counter() - t0:.1f}s ===")
+    else:
+        CASES[which](**({"iters": iters} if iters else {}))
