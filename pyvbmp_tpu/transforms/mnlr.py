@@ -298,6 +298,42 @@ class MultiNomialLogisticRegression:
         return jnp.concatenate([lnpsb, lnpsb_0], -1)
 
     @highest_precision
+    def log_predict_2(self, X):
+        """Third prediction bound (reference MNLR.log_predict_2:261-290):
+        exactly marginalizes the betas per stick while using <w> from the PG
+        fixed point for the quadratic term."""
+        X = self._padded(X)
+        Xr = X[..., None, :]
+        psi_bar = (Xr * self.beta.mean()[..., 0]).sum(-1)
+        Xc = X[..., None, :, None]
+        pgc = jnp.sqrt((Xc * (self.beta.EXXT() @ Xc)).sum(-2)[..., 0])
+        Ew = 0.5 / pgc * jnp.tanh(0.5 * pgc)
+        psi_var = (Xc * (self.beta.ESigma() @ Xc)).sum((-2, -1))
+        nat1_plus = 0.5 + psi_bar / psi_var
+        nat1_minus = nat1_plus - 1.0
+        nat2 = Ew + 1.0 / psi_var
+        Res = jnp.log(jnp.cosh(0.5 * pgc))
+        lnpsb = (
+            0.5 * nat1_plus**2 / nat2
+            - 0.5 * jnp.log(nat2)
+            - 0.5 * psi_bar**2 / psi_var
+            - 0.5 * jnp.log(psi_var)
+            - um.LOG2
+            + Res
+        )
+        lnpsb_minus = lnpsb + 0.5 * (nat1_minus**2 - nat1_plus**2) / nat2
+        lnp = jnp.concatenate(
+            [jnp.zeros_like(lnpsb[..., :1]), jnp.cumsum(lnpsb_minus, -1)], -1
+        )
+        return lnp.at[..., :-1].add(lnpsb)
+
+    @highest_precision
+    def predict_2(self, X):
+        lnpsb = self.log_predict_2(X)
+        psb = jnp.exp(lnpsb - lnpsb.max(-1, keepdims=True))
+        return psb / psb.sum(-1, keepdims=True)
+
+    @highest_precision
     def log_forward(self, pX):
         """log p(z|pX) via Elog_like_given_pX_pY at each one-hot class
         (reference MNLR.log_forward:253-258)."""

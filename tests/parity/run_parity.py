@@ -300,6 +300,9 @@ def parity_mnlr(iters=6):
         tlp = tm.log_predict(tX).numpy()
         jlp = np.asarray(jm.log_predict(jX))
         devs.append(np.abs(tlp - jlp).max() / max(1.0, np.abs(tlp).max()))
+        tlp2 = tm.log_predict_2(tX).numpy()
+        jlp2 = np.asarray(jm.log_predict_2(jX))
+        devs.append(np.abs(tlp2 - jlp2).max() / max(1.0, np.abs(tlp2).max()))
     print("MAXDEV", max(devs))
 
 

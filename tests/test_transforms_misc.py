@@ -47,6 +47,32 @@ def test_mnlr_classification():
     assert np.all(np.isfinite(lp))
 
 
+def test_mnlr_three_prediction_bounds_agree():
+    """The reference exposes three prediction bounds (log_predict /
+    log_predict_1 / log_predict_2, reference MNLR.py:244-304); on
+    well-separated data all must produce the same confident posterior."""
+    X, Y, y = _blob_classification()
+    m = MultiNomialLogisticRegression(3, 2)
+    for _ in range(8):
+        m.raw_update(X, Y, iters=2)
+
+    def norm(lp):
+        p = np.exp(lp - lp.max(-1, keepdims=True))
+        return p / p.sum(-1, keepdims=True)
+
+    p0 = norm(np.asarray(m.log_predict(X)))
+    p1 = norm(np.asarray(m.log_predict_1(X)))
+    p2 = np.asarray(m.predict_2(X))
+    assert (p0.argmax(-1) == y).mean() > 0.9
+    np.testing.assert_array_equal(p0.argmax(-1), p1.argmax(-1))
+    # predict_2 is a different approximation; the reference notes it performs
+    # "ever so slightly worse" — it must still classify well and mostly agree
+    # (its torch-parity is checked to ~1e-14 in tests/parity/run_parity.py)
+    assert (p2.argmax(-1) == y).mean() > 0.9
+    assert (p0.argmax(-1) == p2.argmax(-1)).mean() > 0.9
+    assert np.abs(p0 - p1).max() < 1e-4
+
+
 def test_mnlr_minibatch_beta_accumulation():
     X, Y, y = _blob_classification()
     m = MultiNomialLogisticRegression(3, 2)
