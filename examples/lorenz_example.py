@@ -74,6 +74,12 @@ def main(batch_num=20, iters=20):
         print("wrote", pc_scores(model))
     except Exception as e:
         print("pc-score plot skipped:", e)
+    # labeled role/dynamics structure heatmaps (reference DMBD.py:344-415)
+    model.plot_observation(path="/tmp/dmbd_lorenz_observation.png")
+    model.plot_transition(type="obs", path="/tmp/dmbd_lorenz_role_transition.png")
+    model.plot_transition(type="latent", path="/tmp/dmbd_lorenz_A.png")
+    model.plot_transition(type="latent", use_mask=True, path="/tmp/dmbd_lorenz_A_mask.png")
+    print("wrote /tmp/dmbd_lorenz_{observation,role_transition,A,A_mask}.png")
     return model
 
 

@@ -515,6 +515,84 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
     def assignment(self):
         return self.assignment_pr().argmax(-1)
 
+    # ---------------------------------------------------------- introspection
+    def _sbz_labels(self):
+        labels = ["S "] + ["B ", "Z "] * self.number_of_objects
+        if self.number_of_objects > 1:
+            labels = [
+                lab if i == 0 else lab + str((i + 1) // 2)
+                for i, lab in enumerate(labels)
+            ]
+        return labels
+
+    def _annotate_sbz(self, ax, dims, axis="x"):
+        """Colored S/B/Z block labels at block centers (reference
+        DynamicMarkovBlanketDiscovery.py:350-373 label layout)."""
+        for i, label in enumerate(self._sbz_labels()):
+            c = "red" if i == 0 else ("green" if i % 2 == 1 else "blue")
+            pos = dims[0] / 2.0 + i * (dims[1] + dims[2]) / 2.0
+            if i > 0:
+                pos = pos - 0.5
+            if axis == "x":
+                ax.text(pos, -1.5, label, color=c, ha="center", va="center",
+                        fontsize=10, weight="bold")
+            else:
+                ax.text(-1.5, pos, label, color=c, ha="center", va="center",
+                        fontsize=10, weight="bold", rotation=90)
+
+    def plot_observation(self, path=None):
+        """Labeled |<B>| heatmap (roles x latent blocks), summed over
+        observables — the role/emission structure sanity check (reference
+        DynamicMarkovBlanketDiscovery.py:344-375). Headless-safe; saves to
+        ``path`` if given and returns the figure."""
+        import matplotlib
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        B = np.abs(np.asarray(self.obs_model.obs_dist.mean())).sum(-2)
+        B = B.reshape(-1, B.shape[-1])
+        fig, ax = plt.subplots()
+        ax.imshow(B)
+        self._annotate_sbz(ax, self.hidden_dims, "x")
+        self._annotate_sbz(ax, self.role_dims, "y")
+        ax.axis("off")
+        if path is not None:
+            fig.savefig(path, bbox_inches="tight")
+            plt.close(fig)
+        return fig
+
+    def plot_transition(self, type="obs", use_mask=False, path=None):
+        """Labeled heatmap of the role transition posterior (``type='obs'``)
+        or the latent dynamics |<A>| (``type='latent'``); ``use_mask`` shows
+        the structural mask instead (reference
+        DynamicMarkovBlanketDiscovery.py:377-415). Headless-safe; saves to
+        ``path`` if given and returns the figure."""
+        import matplotlib
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        if type == "obs":
+            M = (
+                self.obs_model.transition_mask
+                if use_mask
+                else self.obs_model.transition.mean()
+            )
+            dims = self.role_dims
+        else:
+            M = self.A.mask if use_mask else jnp.abs(self.A.mean())
+            dims = self.hidden_dims
+        M = np.asarray(M)
+        M = M.reshape(M.shape[-2], M.shape[-1])
+        fig, ax = plt.subplots()
+        ax.imshow(M)
+        self._annotate_sbz(ax, dims, "x")
+        self._annotate_sbz(ax, dims, "y")
+        ax.axis("off")
+        if path is not None:
+            fig.savefig(path, bbox_inches="tight")
+            plt.close(fig)
+        return fig
+
     def KLqprior(self):
         KL = self.x0.KLqprior() + self.A.KLqprior()
         for _ in range(len(self.offset)):

@@ -135,3 +135,30 @@ def test_weighted_outer_pallas_interpret_matches_einsum(S, p, K):
     ref = weighted_outer_einsum(X, W)
     out = weighted_outer(X, W, force="pallas", interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+# --------------------------------------------------- DMBD introspection plots
+def test_dmbd_plot_observation_and_transition(tmp_path):
+    """plot_observation / plot_transition render labeled heatmaps headlessly
+    (reference DynamicMarkovBlanketDiscovery.py:344-415)."""
+    from pyvbmp_tpu.models import DynamicMarkovBlanketDiscovery
+
+    rng.seed(0)
+    m = DynamicMarkovBlanketDiscovery(
+        obs_shape=(3, 2), role_dims=(1, 2, 1), hidden_dims=(2, 2, 2),
+        number_of_objects=2,
+    )
+    paths = {
+        "obs": tmp_path / "obs.png",
+        "trans": tmp_path / "trans.png",
+        "transmask": tmp_path / "tmask.png",
+        "A": tmp_path / "A.png",
+        "Amask": tmp_path / "Amask.png",
+    }
+    m.plot_observation(path=str(paths["obs"]))
+    m.plot_transition(type="obs", path=str(paths["trans"]))
+    m.plot_transition(type="obs", use_mask=True, path=str(paths["transmask"]))
+    m.plot_transition(type="latent", path=str(paths["A"]))
+    m.plot_transition(type="latent", use_mask=True, path=str(paths["Amask"]))
+    for p in paths.values():
+        assert p.exists() and p.stat().st_size > 1000, p
