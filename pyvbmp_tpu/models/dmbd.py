@@ -415,6 +415,13 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
 
     def update(self, y, u=None, r=None, iters=1, latent_iters=1, lr=1.0, verbose=False):
         y, u, r = self.reshape_inputs(y, u, r)
+        self._update_reshaped(
+            y, u, r, iters=iters, latent_iters=latent_iters, lr=lr, verbose=verbose
+        )
+
+    def _update_reshaped(self, y, u, r, iters=1, latent_iters=1, lr=1.0, verbose=False):
+        """VB sweeps on already-reshaped (possibly mesh-sharded) inputs — the
+        single step dispatcher shared by update() and parallel.api."""
         # obs_model.ptemp is read through ``self`` at trace time (baked into
         # the compiled sweep) — key on it so ptemp annealing between update
         # calls (reference Artificial_Life_example.py:54-57) retraces.

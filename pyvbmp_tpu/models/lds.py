@@ -577,6 +577,11 @@ class LinearDynamicalSystems:
     # ---------------------------------------------------------- reference API
     def update(self, y, u=None, r=None, p=None, iters=1, lr=1.0, verbose=False):
         y, u, r = self.reshape_inputs(y, u, r)
+        self._update_reshaped(y, u, r, iters=iters, lr=lr, verbose=verbose)
+
+    def _update_reshaped(self, y, u, r, iters=1, lr=1.0, verbose=False):
+        """VB sweeps on already-reshaped (possibly mesh-sharded) inputs — the
+        single step dispatcher shared by update() and parallel.api."""
         if iters == 1:
             step = self._jitted("vb_step", self._vb_step)
             self.x0, self.A, self.obs_model, self.px, self.logZ, L = step(

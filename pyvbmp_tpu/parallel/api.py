@@ -50,72 +50,15 @@ def data_parallel_update(model, y, u=None, r=None, mesh=None, iters=1, lr=1.0):
     """
     if mesh is None:
         mesh = make_mesh()
-    if hasattr(model, "reshape_inputs"):
+    if hasattr(model, "_update_reshaped") and hasattr(model, "reshape_inputs"):
         y, u, r = model.reshape_inputs(y, u, r)
         y = shard_batch(mesh, y, 1)
         u = shard_batch(mesh, u, 1)
         r = shard_batch(mesh, r, 1)
-        # bypass reshape in update by calling the jitted internals
-        return _update_reshaped(model, y, u, r, iters, lr)
+        # the model's own step dispatcher — the exact code path update() uses,
+        # just fed sharded inputs so XLA inserts the collectives
+        model._update_reshaped(y, u, r, iters=iters, lr=lr)
+        return model
     y = shard_batch(mesh, y, 1)
     model.update(y, iters=iters, lr=lr)
-    return model
-
-
-def _update_reshaped(model, y, u, r, iters, lr):
-    """Call the model's jitted step loop on already-reshaped (sharded) inputs."""
-    import jax.numpy as jnp
-
-    if hasattr(model, "_dmbd_step"):
-        key = ("step", 1, model.obs_model.ptemp)
-        if key not in model._jit_cache:
-            model._jit_cache[key] = jax.jit(
-                model._dmbd_step, static_argnames=("latent_iters",)
-            )
-        fn = model._jit_cache[key]
-        for _ in range(iters):
-            if model.px is None:
-                px0 = model._init_px(r)
-                px_tuple = (px0.mu, px0.Sigma, px0.invSigmamu, px0.invSigma)
-            else:
-                px_tuple = (
-                    model.px.mu,
-                    model.px.Sigma,
-                    model.px.invSigmamu,
-                    model.px.invSigma,
-                )
-            (
-                model.x0,
-                model.A,
-                model.obs_model.transition,
-                model.obs_model.initial,
-                model.obs_model.obs_dist,
-                px_tuple,
-                model.obs_model.p,
-                model.logZ,
-                ELBO,
-            ) = fn(
-                model.x0,
-                model.A,
-                model.obs_model.transition,
-                model.obs_model.initial,
-                model.obs_model.obs_dist,
-                px_tuple,
-                y,
-                u,
-                r,
-                lr,
-                1,
-            )
-            from ..dists.mvn_vector_format import MultivariateNormal_vector_format
-
-            model.px = MultivariateNormal_vector_format(*px_tuple)
-            model.ELBO_save.append(float(ELBO))
-        return model
-    step = model._jitted("vb_step", model._vb_step)
-    for _ in range(iters):
-        model.x0, model.A, model.obs_model, model.px, model.logZ, L = step(
-            model.x0, model.A, model.obs_model, y, u, r, lr
-        )
-        model.ELBO_save.append(float(L))
     return model
