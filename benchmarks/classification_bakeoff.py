@@ -1,10 +1,15 @@
 """Classifier bake-off: MNLR vs dMixLT vs NLRegression variants vs MixLT
 (counterpart of reference tests/test_vb_mnist.py:107-160, which compares
-percent-correct and wall-clock on MNIST-16x16; no MNIST files ship with this
-environment, so a synthetic 10-class 64-dim task with non-linear class
-boundaries stands in — same models, same protocol, recorded numbers).
+percent-correct and wall-clock on MNIST-16x16).
 
-Run: python benchmarks/classification_bakeoff.py
+Two tasks:
+- ``digits``: REAL data — the classic 8x8 handwritten-digit set (1797
+  samples, 10 classes), vendored at benchmarks/data/digits8x8.npz (MNIST
+  itself needs a download this environment forbids; digits is the same task
+  family at 8x8 instead of 16x16).
+- ``synthetic``: a 10-class bimodal 16-dim task with nonlinear boundaries.
+
+Run: python benchmarks/classification_bakeoff.py {ours|ref} {digits|synthetic}
 """
 import os
 import sys
@@ -30,7 +35,24 @@ def make_task(n_train=4000, n_test=1000, K=10, d=16, seed=0):
     return Xtr, ytr, Xte, yte
 
 
-def main():
+def load_digits_task(n_test=450, seed=0):
+    """Real 8x8 handwritten digits (vendored npz); deterministic split."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "digits8x8.npz")
+    d = np.load(path)
+    X, y = d["X"], d["y"]
+    rs = np.random.RandomState(seed)
+    idx = rs.permutation(len(X))
+    X, y = X[idx], y[idx]
+    X = (X / 16.0 - 0.5).astype(np.float32)  # pixel range [0,16] -> [-0.5,0.5]
+    return X[n_test:], y[n_test:], X[:n_test], y[:n_test]
+
+
+def get_task(name):
+    return load_digits_task() if name == "digits" else make_task()
+
+
+def main(task="synthetic"):
     import jax
     import jax.numpy as jnp
     from pyvbmp_tpu.transforms import (
@@ -41,64 +63,57 @@ def main():
     )
     from pyvbmp_tpu.utils import rng
 
-    Xtr, ytr, Xte, yte = make_task()
+    Xtr, ytr, Xte, yte = get_task(task)
     K = 10
     Ytr = np.eye(K, dtype=np.float32)[ytr]
     jXtr, jYtr, jXte = jnp.asarray(Xtr), jnp.asarray(Ytr), jnp.asarray(Xte)
 
     results = {}
 
-    rng.seed(0)
-    m = MultiNomialLogisticRegression(K, Xtr.shape[1])
-    t0 = time.perf_counter()
-    for _ in range(10):
-        m.raw_update(jXtr, jYtr, iters=2)
-    jax.block_until_ready(m.beta.mu)
-    dt = time.perf_counter() - t0
-    acc = (np.asarray(m.predict(jXte)).argmax(-1) == yte).mean()
-    results["MNLR (PG)"] = (acc, dt)
+    def timed(fit_and_predict):
+        """Run twice from identical fresh state: first pass pays the jit
+        compiles, second is the reported fit time (torch pays no compile, so
+        this is the apples-to-apples number)."""
+        fit_and_predict()
+        t0 = time.perf_counter()
+        yhat = fit_and_predict()
+        dt = time.perf_counter() - t0
+        return (yhat == yte).mean(), dt
 
-    rng.seed(0)
-    m = MultiNomialLogisticRegression_Bouchard(K, Xtr.shape[1])
-    t0 = time.perf_counter()
-    for _ in range(10):
-        m.raw_update(jXtr, jYtr, iters=2)
-    jax.block_until_ready(m.beta.mu)
-    dt = time.perf_counter() - t0
-    acc = (np.asarray(m.predict(jXte)).argmax(-1) == yte).mean()
-    results["MNLR (Bouchard)"] = (acc, dt)
+    def fit_mnlr(cls):
+        def run():
+            rng.seed(0)
+            m = cls(K, Xtr.shape[1])
+            for _ in range(10):
+                m.raw_update(jXtr, jYtr, iters=2)
+            return np.asarray(m.predict(jXte)).argmax(-1)
+        return run
 
-    rng.seed(0)
-    # predict class scores via one-hot regression through a mixture of experts
-    m = dMixtureofLinearTransforms(K, Xtr.shape[1], 4)
-    t0 = time.perf_counter()
-    m.raw_update(jXtr, jYtr, iters=10)
-    jax.block_until_ready(m.A.mu)
-    dt = time.perf_counter() - t0
-    pY, _ = m.predict(jXte)
-    acc = (np.asarray(pY.mean())[..., 0].argmax(-1) == yte).mean()
-    results["dMixLT (4 experts)"] = (acc, dt)
+    results["MNLR (PG)"] = timed(fit_mnlr(MultiNomialLogisticRegression))
+    results["MNLR (Bouchard)"] = timed(
+        fit_mnlr(MultiNomialLogisticRegression_Bouchard)
+    )
 
-    rng.seed(0)
-    m = NLRegression_Multinomial(K, Xtr.shape[1], 4)
-    t0 = time.perf_counter()
-    m.raw_update(jXtr, jYtr, iters=10)
-    jax.block_until_ready(m.A.mu)
-    dt = time.perf_counter() - t0
-    pY, _ = m.predict(jXte)
-    acc = (np.asarray(pY.mean())[..., 0].argmax(-1) == yte).mean()
-    results["NLR-multinomial"] = (acc, dt)
+    def fit_moe(cls):
+        def run():
+            rng.seed(0)
+            m = cls(K, Xtr.shape[1], 4)
+            m.raw_update(jXtr, jYtr, iters=10)
+            pY, _ = m.predict(jXte)
+            return np.asarray(pY.mean())[..., 0].argmax(-1)
+        return run
+
+    results["dMixLT (4 experts)"] = timed(fit_moe(dMixtureofLinearTransforms))
+    results["NLR-multinomial"] = timed(fit_moe(NLRegression_Multinomial))
 
     for name, (acc, dt) in results.items():
-        print("%-22s accuracy %.3f   fit %.1fs" % (name, acc, dt))
+        print("%-22s accuracy %.3f   fit %.1fs   [%s]" % (name, acc, dt, task))
     return results
 
 
-def main_ref():
+def main_ref(task="synthetic"):
     """torch-CPU reference on the same task (MNIST bake-off analogue,
-    reference tests/test_vb_mnist.py:107-160; MNIST itself needs a download
-    this environment doesn't allow, so the same synthetic task is used for
-    both sides)."""
+    reference tests/test_vb_mnist.py:107-160)."""
     import sys as _s
     _s.path.insert(0, "/root/reference")
     import torch
@@ -108,7 +123,7 @@ def main_ref():
         NLRegression_Multinomial,
     )
 
-    Xtr, ytr, Xte, yte = make_task()
+    Xtr, ytr, Xte, yte = get_task(task)
     K = 10
     Ytr = np.eye(K, dtype=np.float32)[ytr]
     tX, tY, tXe = map(torch.tensor, (Xtr, Ytr, Xte))
@@ -142,14 +157,19 @@ def main_ref():
     results["NLR-multinomial"] = (acc, dt)
 
     for name, (acc, dt) in results.items():
-        print("%-22s accuracy %.3f   fit %.1fs   [torch-CPU reference]" % (name, acc, dt))
+        print(
+            "%-22s accuracy %.3f   fit %.1fs   [torch-CPU reference, %s]"
+            % (name, acc, dt, task)
+        )
     return results
 
 
 if __name__ == "__main__":
     import sys as _sys
-    if len(_sys.argv) > 1 and _sys.argv[1] == "ref":
-        main_ref()
+    which = _sys.argv[1] if len(_sys.argv) > 1 else "ours"
+    task = _sys.argv[2] if len(_sys.argv) > 2 else "synthetic"
+    if which == "ref":
+        main_ref(task)
     else:
-        main()
+        main(task)
 

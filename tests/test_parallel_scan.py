@@ -97,12 +97,12 @@ def test_lds_fit_parallel_scan():
 def test_dmbd_parallel_scan_runs():
     rng.seed(0)
     rs = np.random.RandomState(4)
-    data = jnp.asarray(rs.randn(30, 3, 4, 2), jnp.float32)
+    data = jnp.asarray(rs.randn(16, 3, 4, 2), jnp.float32)
     m = DynamicMarkovBlanketDiscovery(
         obs_shape=(4, 2), role_dims=(1, 1, 1), hidden_dims=(2, 1, 1),
         parallel_scan=True,
     )
-    m.update(data, iters=3)
+    m.update(data, iters=2)
     assert np.isfinite(m.ELBO_save).all()
 
 

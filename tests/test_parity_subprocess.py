@@ -38,7 +38,7 @@ def _run(*args, timeout=1200):
 
 def test_parity_all_oracles():
     """Every parity oracle, every default run (VERDICT r1 item 5)."""
-    devs, stdout = _run("all", "3", timeout=1800)
+    devs, stdout = _run("all", "2", timeout=1800)
     assert len(devs) == N_ORACLES, stdout
     assert max(devs) <= 1e-5, stdout
 

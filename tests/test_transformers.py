@@ -12,7 +12,7 @@ from pyvbmp_tpu.transforms.bayesian_transformers import (
 from pyvbmp_tpu.utils import rng
 
 
-def _mixture_data(num_samples=200, num_obs=10, mixture_dim=8, hidden_dim=2, obs_dim=2):
+def _mixture_data(num_samples=96, num_obs=10, mixture_dim=8, hidden_dim=2, obs_dim=2):
     rs = np.random.RandomState(0)
     X = rs.randn(num_samples, mixture_dim, hidden_dim)
     z = rs.rand(num_samples, mixture_dim).argmax(-1)
