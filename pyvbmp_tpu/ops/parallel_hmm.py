@@ -5,18 +5,120 @@ passes become ``jax.lax.associative_scan`` over the (log,+) matrix semiring,
 giving O(log T) depth (the "context parallel" answer for discrete chains,
 SURVEY.md §5.7).  Produces the same smoothed marginals, pairwise statistics
 and logZ as models.hmm.forward_backward up to float association error.
+
+For K <= PYVBMP_LANE_HMM_MAX_K (default 8) the scan runs in **lane form**:
+the K x K log-matrices are split into per-entry (T, batch) planes so the
+batch rides the TPU's 128-wide lanes and the semiring combine is
+straight-line elementwise code — dense (..., K, K) layout puts the tiny
+matrix dims on the (8, 128) memory tile and runs at a few percent
+utilization (measured: the K=4 role scan was ~11 of ~13.6 ms per DMBD sweep;
+see ops/smallmat.py for the same story on the Kalman side).
 """
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
 
 from ..utils import math as um
 
+LANE_HMM_MAX_K = int(os.environ.get("PYVBMP_LANE_HMM_MAX_K", "8"))
+
 
 def _logmatmul(a, b):
     """(log,+) matmul over the last two axes; associative."""
     return um.logmatmulexp(a, b)
+
+
+# ----------------------------------------------------------- lane-form pieces
+def _lse_terms(terms):
+    """Stable logsumexp over a python list of same-shaped arrays (same -inf
+    guard as utils.math.stable_logsumexp)."""
+    m = terms[0]
+    for t in terms[1:]:
+        m = jnp.maximum(m, t)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    s = sum(jnp.exp(t - m) for t in terms)
+    return m + jnp.log(s)
+
+
+def _logmatmul_lane(K, a, b):
+    """(log,+) matmul of K x K component dicts of lane planes."""
+    return {
+        (i, j): _lse_terms([a[(i, m)] + b[(m, j)] for m in range(K)])
+        for i in range(K)
+        for j in range(K)
+    }
+
+
+def _hmm_lane_core(M, init_logits, ptemp):
+    """Shared lane-form machinery: returns (p, xi (T,)+b+(K,K), SEz0, logZ)
+    given dense semiring elements M (T,)+bshape+(K,K)."""
+    T, K = M.shape[0], M.shape[-1]
+    bshape = M.shape[1:-2]
+    N = 1
+    for s in bshape:
+        N *= s
+
+    Md = {
+        (i, j): M[..., i, j].reshape(T, N) for i in range(K) for j in range(K)
+    }
+    ivec = [
+        jnp.broadcast_to(init_logits[..., i], bshape).reshape(N)
+        for i in range(K)
+    ]
+
+    prefix = jax.lax.associative_scan(
+        lambda a, b: _logmatmul_lane(K, a, b), Md, axis=0
+    )
+    suffix = jax.lax.associative_scan(
+        lambda a, b: _logmatmul_lane(K, b, a), Md, axis=0, reverse=True
+    )
+
+    alpha = [
+        _lse_terms([ivec[i] + prefix[(i, j)] for i in range(K)])
+        for j in range(K)
+    ]
+    logZ = _lse_terms([alpha[j][-1] for j in range(K)])
+    alpha = [a - logZ for a in alpha]
+
+    beta = [
+        _lse_terms([suffix[(i, j)] for j in range(K)]) for i in range(K)
+    ]
+    zero = jnp.zeros_like(beta[0][:1])
+    beta_t = [jnp.concatenate([b[1:], zero], 0) for b in beta]
+
+    smoothed = [alpha[j] + beta_t[j] for j in range(K)]
+    norm = _lse_terms(smoothed)
+    smoothed = [s - norm for s in smoothed]
+
+    alpha_prev = [
+        jnp.concatenate([jnp.broadcast_to(ivec[i], (1, N)), alpha[i][:-1]], 0)
+        for i in range(K)
+    ]
+    xi = {
+        (i, j): alpha_prev[i] + Md[(i, j)] + beta_t[j]
+        for i in range(K)
+        for j in range(K)
+    }
+    xin = _lse_terms(list(xi.values()))
+    xi = {k: jnp.exp(v - xin) for k, v in xi.items()}
+
+    mx = smoothed[0]
+    for s in smoothed[1:]:
+        mx = jnp.maximum(mx, s)
+    p = [jnp.exp((s - mx) / ptemp) for s in smoothed]
+    psum = sum(p)
+    p = [x / psum for x in p]
+
+    p_d = jnp.stack(p, -1).reshape((T,) + bshape + (K,))
+    xi_d = jnp.stack(
+        [jnp.stack([xi[(i, j)] for j in range(K)], -1) for i in range(K)], -2
+    ).reshape((T,) + bshape + (K, K))
+    SEz0 = xi_d[0].sum(-1)
+    logZ_d = logZ.reshape(bshape)
+    return p_d, xi_d, SEz0, logZ_d
 
 
 def forward_backward_parallel(trans_logits, init_logits, obs_logits, ptemp=1.0):
@@ -33,6 +135,10 @@ def forward_backward_parallel(trans_logits, init_logits, obs_logits, ptemp=1.0):
     # per-step semiring elements M_t[i, j] = trans[i, j] + obs_t[j]
     M = trans_logits + obs_logits[:, ..., None, :]
     bshape = M.shape[1:-2]
+
+    if K <= LANE_HMM_MAX_K:
+        p, xi, SEz0, logZ = _hmm_lane_core(M, init_logits, ptemp)
+        return p, xi.sum(0), SEz0, logZ
 
     # alpha_t = init ⊗ M_0 ⊗ ... ⊗ M_t  (prefix scan, row-vector form)
     prefix = jax.lax.associative_scan(_logmatmul, M, axis=0)
@@ -80,6 +186,10 @@ def driven_forward_backward_parallel(trans_logits, init_logits, obs_logits, ptem
     the same log-depth scans.  Returns (p, SEzz per-time, SEz0, logZ)."""
     T = obs_logits.shape[0]
     M = trans_logits + obs_logits[:, ..., None, :]
+
+    if M.shape[-1] <= LANE_HMM_MAX_K:
+        p, xi, SEz0, logZ = _hmm_lane_core(M, init_logits, ptemp)
+        return p, xi, SEz0, logZ
 
     prefix = jax.lax.associative_scan(_logmatmul, M, axis=0)
     alpha = um.stable_logsumexp(init_logits[..., :, None] + prefix, -2)
