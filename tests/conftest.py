@@ -15,7 +15,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # persistent jit cache: the suite is compile-dominated on this 1-core box
 try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache_cpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 except Exception:
     pass
