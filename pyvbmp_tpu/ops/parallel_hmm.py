@@ -121,7 +121,8 @@ def _hmm_lane_core(M, init_logits, ptemp):
     return p_d, xi_d, SEz0, logZ_d
 
 
-def forward_backward_parallel(trans_logits, init_logits, obs_logits, ptemp=1.0):
+def forward_backward_parallel(trans_logits, init_logits, obs_logits, ptemp=1.0,
+                              lane_form=None):
     """Same contract as models.hmm.forward_backward (reference
     HMM.forward_backward_logits:72-105) with log-depth scans.
 
@@ -136,7 +137,9 @@ def forward_backward_parallel(trans_logits, init_logits, obs_logits, ptemp=1.0):
     M = trans_logits + obs_logits[:, ..., None, :]
     bshape = M.shape[1:-2]
 
-    if K <= LANE_HMM_MAX_K:
+    if lane_form is None:
+        lane_form = K <= LANE_HMM_MAX_K
+    if lane_form:
         p, xi, SEz0, logZ = _hmm_lane_core(M, init_logits, ptemp)
         return p, xi.sum(0), SEz0, logZ
 
@@ -180,14 +183,17 @@ def forward_backward_parallel(trans_logits, init_logits, obs_logits, ptemp=1.0):
     return p, SEzz, SEz0, logZ
 
 
-def driven_forward_backward_parallel(trans_logits, init_logits, obs_logits, ptemp=1.0):
+def driven_forward_backward_parallel(trans_logits, init_logits, obs_logits, ptemp=1.0,
+                                     lane_form=None):
     """Input-driven variant: per-time transition logits (T,)+...+(K,K) and
     per-time pairwise statistics (reference models/dHMM.py semantics), with
     the same log-depth scans.  Returns (p, SEzz per-time, SEz0, logZ)."""
     T = obs_logits.shape[0]
     M = trans_logits + obs_logits[:, ..., None, :]
 
-    if M.shape[-1] <= LANE_HMM_MAX_K:
+    if lane_form is None:
+        lane_form = M.shape[-1] <= LANE_HMM_MAX_K
+    if lane_form:
         p, xi, SEz0, logZ = _hmm_lane_core(M, init_logits, ptemp)
         return p, xi, SEz0, logZ
 

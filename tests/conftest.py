@@ -10,6 +10,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Default the smoother scans to the dense layout in tests: lane form exists
+# for the TPU's (8,128) tiling and only bloats CPU trace time (~20s per
+# DMBD-family test on this 1-core box). Numerical equivalence of the two
+# layouts is covered explicitly by the lane_form=True tests in
+# tests/test_parallel_scan.py.
+os.environ.setdefault("PYVBMP_LANE_KALMAN_MAX_H", "0")
+os.environ.setdefault("PYVBMP_LANE_HMM_MAX_K", "0")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -143,3 +143,69 @@ def test_dmbd_unique_obs_per_observation_roles():
     assert m.ELBO_save[-1] > m.ELBO_save[0]
     a = np.asarray(m.obs_model.transition.alpha)
     assert not np.allclose(a[0], a[1])
+
+
+# ---------------------------------------------------------------- lane layout
+# conftest defaults the lane gates to 0 (dense) for trace speed on CPU; these
+# tests pin lane_form=True so the TPU-production layout stays equivalence-
+# checked against the dense path.
+
+def test_kalman_lane_form_equals_dense():
+    from pyvbmp_tpu.ops.parallel_kalman import parallel_kalman_smoother
+
+    for h, K in [(2, (4,)), (3, ()), (6, (2,))]:
+        rng.seed(0)
+        lds = LinearDynamicalSystems((3,), h, 0, 0, batch_shape=K,
+                                     parallel_scan=True)
+        lds.expand_to_batch = bool(K)
+        y = jax.random.normal(jax.random.key(1), (20, 5, 3))
+        yv, uv, rv = lds.reshape_inputs(y)
+        parms = lds._latent_parms(lds.A)
+        like = lds.log_likelihood_function(lds.obs_model, yv, rv)
+        a = parallel_kalman_smoother(parms, lds.x0, like, uv, lane_form=False)
+        b = parallel_kalman_smoother(parms, lds.x0, like, uv, lane_form=True)
+        for x, z in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+            denom = float(jnp.abs(x).max()) + 1e-30
+            assert float(jnp.abs(x - z).max()) / denom < 1e-5, h
+
+
+def test_hmm_lane_form_equals_dense():
+    rs = np.random.RandomState(7)
+    T, B, K = 24, 5, 4
+    trans = jnp.asarray(np.log(rs.dirichlet(np.ones(K), K)), jnp.float32)
+    init = jnp.asarray(np.log(rs.dirichlet(np.ones(K))), jnp.float32)
+    obs = jnp.asarray(rs.randn(T, B, K), jnp.float32)
+    d = forward_backward_parallel(trans, init, obs, lane_form=False)
+    l = forward_backward_parallel(trans, init, obs, lane_form=True)
+    for x, z in zip(d, l):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(z), atol=3e-5)
+
+
+def test_hmm_lane_form_equals_dense_masked():
+    """-inf transition entries (transition_mask) through the lane LSE guard."""
+    rs = np.random.RandomState(8)
+    T, B, K = 16, 3, 4
+    tr = rs.dirichlet(np.ones(K), K)
+    tr[0, 2] = 0.0  # forbidden transition
+    tr = tr / tr.sum(-1, keepdims=True)
+    trans = jnp.asarray(np.log(tr), jnp.float32)
+    init = jnp.asarray(np.log(rs.dirichlet(np.ones(K))), jnp.float32)
+    obs = jnp.asarray(rs.randn(T, B, K), jnp.float32)
+    d = forward_backward_parallel(trans, init, obs, lane_form=False)
+    l = forward_backward_parallel(trans, init, obs, lane_form=True)
+    for x, z in zip(d, l):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(z), atol=3e-5)
+
+
+def test_driven_hmm_lane_form_equals_dense():
+    from pyvbmp_tpu.ops.parallel_hmm import driven_forward_backward_parallel
+
+    rs = np.random.RandomState(9)
+    T, B, K = 14, 3, 4
+    trans = jnp.asarray(np.log(rs.dirichlet(np.ones(K), (T, B, K))), jnp.float32)
+    init = jnp.asarray(np.log(rs.dirichlet(np.ones(K))), jnp.float32)
+    obs = jnp.asarray(rs.randn(T, B, K), jnp.float32)
+    d = driven_forward_backward_parallel(trans, init, obs, lane_form=False)
+    l = driven_forward_backward_parallel(trans, init, obs, lane_form=True)
+    for x, z in zip(d, l):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(z), atol=3e-5)
