@@ -1,0 +1,192 @@
+"""Sequence (time-axis) parallelism: the context-parallel analogue for
+chain-structured smoothers (SURVEY.md §2.8 SP/CP row, §5.7).
+
+The associative-scan smoothers compose per-time elements with an associative
+operator, so the time axis can shard over a mesh axis: each device runs the
+scan on its local chunk, the D per-chunk totals are all_gathered (tiny — one
+element each), every device folds the totals of its predecessors into an
+"external prefix", and applies it to its local results. Total cross-device
+traffic per scan: one all_gather of D elements + the halo shifts — O(D)
+elements, independent of T.
+
+None of our combines has an identity element (the Gaussian-potential combine
+solves against the middle precision), so the external prefix is built by a
+masked fold over valid predecessors instead of an identity-seeded reduce.
+
+Works inside ``jax.shard_map`` over the mesh axis that shards time. The
+user-facing wrapper ``time_sharded_forward_backward`` reproduces
+ops.parallel_hmm.forward_backward_parallel with time sharded; equivalence is
+checked in tests/test_seq_parallel.py on the 8-virtual-device CPU mesh.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import math as um
+
+
+def _tree_at(tree, i):
+    return jax.tree.map(lambda a: a[i], tree)
+
+
+def _tree_where(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def sharded_associative_scan(fn, elems, axis_name, reverse=False):
+    """``jax.lax.associative_scan(fn, elems, axis=0)`` with axis 0 sharded
+    over ``axis_name``. Call inside shard_map; ``elems`` hold the LOCAL time
+    chunk. Returns the local chunk of the global inclusive scan.
+
+    ``fn`` must be associative; no identity element is required.
+    """
+    if reverse:
+        # suffix scan = prefix scan on the time-reversed chain with flipped
+        # operands; recurse through the forward implementation.
+        flipped = jax.tree.map(lambda a: jnp.flip(a, 0), elems)
+        # device order along the time axis also reverses
+        out = _sharded_prefix(
+            lambda a, b: fn(b, a), flipped, axis_name, flip_axis=True
+        )
+        return jax.tree.map(lambda a: jnp.flip(a, 0), out)
+    return _sharded_prefix(fn, elems, axis_name, flip_axis=False)
+
+
+def _sharded_prefix(fn, elems, axis_name, flip_axis):
+    local = jax.lax.associative_scan(fn, elems, axis=0)
+    total = _tree_at(local, -1)
+    # (D,) + element_shape per leaf
+    alls = jax.lax.all_gather(total, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    D = jax.lax.axis_size(axis_name)
+    if flip_axis:
+        # chunk d holds times [T - (d+1)*C, T - d*C): device order reversed
+        idx = D - 1 - idx
+        alls = jax.tree.map(lambda a: jnp.flip(a, 0), alls)
+    if D == 1:
+        return local
+
+    # external prefix = fold of chunk totals 0..idx-1 (valid only for idx>0)
+    ext = _tree_at(alls, 0)
+    for j in range(1, D - 1):
+        cand = fn(ext, _tree_at(alls, j))
+        ext = _tree_where(j < idx, cand, ext)
+    out = fn(ext, local)
+    return _tree_where(idx > 0, out, local)
+
+
+def shift_up(x, axis_name, fill=0.0, flip_axis=False):
+    """x[t] <- x[t+1] across the sharded time axis (zero-fill at the global
+    end): local roll + halo exchange of each device's first row with its
+    left neighbour via ppermute."""
+    D = jax.lax.axis_size(axis_name)
+
+    def one(a):
+        nxt = jnp.concatenate(
+            [a[1:], jnp.full_like(a[:1], fill)], 0
+        )
+        if D == 1:
+            return nxt
+        first = a[:1]
+        # send my first row to my left neighbour (device d -> d-1 in time
+        # order; with flip_axis the device order along time is reversed)
+        if flip_axis:
+            perm = [(d, (d + 1) % D) for d in range(D)]
+        else:
+            perm = [(d, (d - 1) % D) for d in range(D)]
+        halo = jax.lax.ppermute(first, axis_name, perm)
+        idx = jax.lax.axis_index(axis_name)
+        tidx = (D - 1 - idx) if flip_axis else idx
+        is_last = tidx == D - 1
+        tail = jnp.where(is_last, jnp.full_like(halo, fill), halo)
+        return nxt.at[-1:].set(tail)
+
+    return jax.tree.map(one, x)
+
+
+def shift_down(x, axis_name, first_row, flip_axis=False):
+    """x[t] <- x[t-1] across the sharded time axis; the global row 0 becomes
+    ``first_row`` (shape = one time row)."""
+    D = jax.lax.axis_size(axis_name)
+
+    def one(a, fr):
+        prev = jnp.concatenate([fr[None] if fr.ndim == a.ndim - 1 else fr[:1], a[:-1]], 0)
+        if D == 1:
+            return prev
+        last = a[-1:]
+        if flip_axis:
+            perm = [(d, (d - 1) % D) for d in range(D)]
+        else:
+            perm = [(d, (d + 1) % D) for d in range(D)]
+        halo = jax.lax.ppermute(last, axis_name, perm)
+        idx = jax.lax.axis_index(axis_name)
+        tidx = (D - 1 - idx) if flip_axis else idx
+        frow = fr[None] if fr.ndim == a.ndim - 1 else fr[:1]
+        head = jnp.where(tidx == 0, frow, halo)
+        return prev.at[:1].set(head)
+
+    return jax.tree.map(one, x, first_row)
+
+
+def time_sharded_forward_backward(trans_logits, init_logits, obs_logits, mesh,
+                                  ptemp=1.0, time_axis="seq"):
+    """forward_backward_parallel with the TIME axis sharded over
+    ``mesh[time_axis]`` (sequence parallelism). Same returns:
+    (p, SEzz, SEz0, logZ); p comes back sharded over time, the reductions
+    replicated.
+
+    trans_logits: (K, K), init_logits: (K,), obs_logits: (T,)+batch+(K,).
+    T must divide by the mesh axis size.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    K = trans_logits.shape[-1]
+
+    def body(trans, init, obs):
+        M = trans + obs[:, ..., None, :]
+
+        prefix = sharded_associative_scan(um.logmatmulexp, M, time_axis)
+        suffix = sharded_associative_scan(
+            um.logmatmulexp, M, time_axis, reverse=True
+        )
+
+        alpha = um.stable_logsumexp(init[..., :, None] + prefix, -2)
+        # global last row of alpha lives on the last device: all_gather the
+        # local last rows and take the final one
+        last_rows = jax.lax.all_gather(alpha[-1], time_axis)
+        logZ = um.stable_logsumexp(last_rows[-1], -1, keepdims=True)
+        alpha = alpha - logZ
+        logZ = logZ[..., 0]
+
+        beta = um.stable_logsumexp(suffix, -1)
+        beta_t = shift_up(beta, time_axis, fill=0.0)
+
+        smoothed = alpha + beta_t
+        smoothed = smoothed - um.stable_logsumexp(smoothed, -1, keepdims=True)
+
+        init_row = jnp.broadcast_to(init, alpha.shape[1:])
+        alpha_prev = shift_down(alpha, time_axis, init_row)
+        xi = alpha_prev[..., :, None] + M + beta_t[..., None, :]
+        xi = jnp.exp(xi - um.stable_logsumexp(xi, (-1, -2), keepdims=True))
+        # SEz0 = xi[global t=0].sum(-1): device 0 owns it; psum of a masked
+        # local contribution replicates it
+        idx = jax.lax.axis_index(time_axis)
+        SEz0_local = jnp.where(idx == 0, xi[0].sum(-1), jnp.zeros_like(xi[0].sum(-1)))
+        SEz0 = jax.lax.psum(SEz0_local, time_axis)
+        SEzz = jax.lax.psum(xi.sum(0), time_axis)
+
+        p = jnp.exp((smoothed - smoothed.max(-1, keepdims=True)) / ptemp)
+        p = p / p.sum(-1, keepdims=True)
+        return p, SEzz, SEz0, logZ
+
+    shard = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(time_axis)),
+        out_specs=(P(time_axis), P(), P(), P()),
+        # the psum/all_gather outputs ARE replicated; static inference can't
+        # see through the masked-fold/index pattern, so skip the check
+        check_vma=False,
+    )
+    return shard(trans_logits, init_logits, obs_logits)

@@ -1,0 +1,62 @@
+"""Sequence (time-axis) parallelism (SURVEY §2.8 SP/CP row): the
+time-sharded forward-backward must reproduce the single-device smoother on
+the 8-virtual-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from pyvbmp_tpu.ops.parallel_hmm import forward_backward_parallel
+from pyvbmp_tpu.parallel.seq_parallel import time_sharded_forward_backward
+
+
+def _problem(T=32, B=3, K=4, seed=0, masked=False):
+    rs = np.random.RandomState(seed)
+    tr = rs.dirichlet(np.ones(K), K)
+    if masked:
+        tr[0, 2] = 0.0
+        tr = tr / tr.sum(-1, keepdims=True)
+    trans = jnp.asarray(np.log(tr), jnp.float32)
+    init = jnp.asarray(np.log(rs.dirichlet(np.ones(K))), jnp.float32)
+    obs = jnp.asarray(rs.randn(T, B, K), jnp.float32)
+    return trans, init, obs
+
+
+def _mesh(n=8):
+    return Mesh(np.asarray(jax.devices()[:n]), axis_names=("seq",))
+
+
+def test_time_sharded_hmm_matches_single_device():
+    trans, init, obs = _problem()
+    ref = forward_backward_parallel(trans, init, obs, lane_form=False)
+    out = time_sharded_forward_backward(trans, init, obs, _mesh())
+    names = ["p", "SEzz", "SEz0", "logZ"]
+    for n, x, z in zip(names, ref, out):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(z), atol=5e-5, err_msg=n
+        )
+
+
+def test_time_sharded_hmm_masked_transitions():
+    trans, init, obs = _problem(masked=True)
+    ref = forward_backward_parallel(trans, init, obs, lane_form=False)
+    out = time_sharded_forward_backward(trans, init, obs, _mesh())
+    for x, z in zip(ref, out):
+        assert np.isfinite(np.asarray(z)).all()
+        np.testing.assert_allclose(np.asarray(x), np.asarray(z), atol=5e-5)
+
+
+def test_time_sharded_hmm_ptemp():
+    trans, init, obs = _problem(T=16)
+    ref = forward_backward_parallel(trans, init, obs, ptemp=3.0, lane_form=False)
+    out = time_sharded_forward_backward(trans, init, obs, _mesh(), ptemp=3.0)
+    np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(out[0]), atol=5e-5)
+
+
+def test_time_sharded_two_devices():
+    """D=2 exercises the single-predecessor external-prefix edge case."""
+    trans, init, obs = _problem(T=10)
+    ref = forward_backward_parallel(trans, init, obs, lane_form=False)
+    out = time_sharded_forward_backward(trans, init, obs, _mesh(2))
+    for x, z in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(z), atol=5e-5)
