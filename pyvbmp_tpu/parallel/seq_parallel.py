@@ -72,7 +72,12 @@ def _sharded_prefix(fn, elems, axis_name, flip_axis):
     for j in range(1, D - 1):
         cand = fn(ext, _tree_at(alls, j))
         ext = _tree_where(j < idx, cand, ext)
-    out = fn(ext, local)
+    # combines that mix leaves (e.g. concatenate) don't rank-broadcast:
+    # lift ext to the local chunk's leading time dim explicitly
+    ext_b = jax.tree.map(
+        lambda e, l: jnp.broadcast_to(e[None], l.shape), ext, local
+    )
+    out = fn(ext_b, local)
     return _tree_where(idx > 0, out, local)
 
 
@@ -190,3 +195,91 @@ def time_sharded_forward_backward(trans_logits, init_logits, obs_logits, mesh,
         check_vma=False,
     )
     return shard(trans_logits, init_logits, obs_logits)
+
+
+def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq"):
+    """ops.parallel_kalman.parallel_kalman_smoother with the TIME axis
+    sharded over ``mesh[time_axis]`` (sequence parallelism for the
+    continuous chain). Same return contract; T must divide the axis size.
+
+    The Gaussian-potential combine is associative but has no identity, so
+    the cross-device prefix uses the masked fold in
+    ``sharded_associative_scan``; the +-1-step tails (backward message
+    shift, alpha_{t-1} for cross-covariances) become ppermute halo
+    exchanges.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..ops.parallel_kalman import (
+        _build_elements,
+        _combine,
+        _marginalize_left,
+        _marginalize_right,
+    )
+    from ..utils.linalg import sym_inv, sym_inv_and_logdet, sym_solve_and_logdet, mT
+
+    elems, bshape, T, hdim = _build_elements(parms, x0, like, u)
+
+    def body(Jaa, Jab, Jbb, ha, hb, logw):
+        el = (Jaa, Jab, Jbb, ha, hb, logw)
+        prefix = sharded_associative_scan(_combine, el, time_axis)
+        # NOTE: unlike lax.associative_scan(reverse=True), this API flips the
+        # operand order internally — pass the plain forward combine
+        suffix = sharded_associative_scan(_combine, el, time_axis, reverse=True)
+
+        Ja, hva, logca = jax.vmap(lambda e: _marginalize_left(*e))(prefix)
+        Jb_all, hvb_all, _ = jax.vmap(lambda e: _marginalize_right(*e))(suffix)
+        Jbeta = shift_up(Jb_all, time_axis)
+        hbeta = shift_up(hvb_all, time_axis)
+
+        Js = Ja + Jbeta
+        hs = hva + hbeta
+        Sigma, _ld = sym_inv_and_logdet(Js)
+        mu = Sigma @ hs
+
+        idx = jax.lax.axis_index(time_axis)
+        first = lambda a: jax.lax.psum(
+            jnp.where(idx == 0, a[0], jnp.zeros_like(a[0])), time_axis
+        )
+        Sigma_x0_x0 = sym_inv(first(Jb_all))
+        mu_x0 = Sigma_x0_x0 @ first(hvb_all)
+
+        Jalpha_prev = shift_down(
+            Ja, time_axis, jnp.zeros_like(Ja[0]), flip_axis=False
+        )
+        A = Jalpha_prev + Jaa
+        B = Jab
+        D = Jbb + Jbeta
+        Ainv_B = sym_inv(A) @ B
+        Sbb = sym_inv(D - mT(B) @ Ainv_B)
+        Sigma_cross_all = -Ainv_B @ Sbb
+
+        # global last filtered potential for logZ
+        Ja_l = jax.lax.all_gather(Ja[-1], time_axis)[-1]
+        hva_l = jax.lax.all_gather(hva[-1], time_axis)[-1]
+        logca_l = jax.lax.all_gather(logca[-1], time_axis)[-1]
+        sol, logdetJ = sym_solve_and_logdet(Ja_l, hva_l)
+        logZ_total = (
+            logca_l
+            + 0.5 * (hva_l * sol).sum((-1, -2))
+            - 0.5 * logdetJ
+            + 0.5 * hdim * um.LOG2PI
+        )
+        return Sigma, mu, Js, hs, Sigma_cross_all, Sigma_x0_x0, mu_x0, logZ_total
+
+    sh = P(time_axis)
+    shard = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(sh,) * 6,
+        out_specs=(sh, sh, sh, sh, sh, P(), P(), P()),
+        check_vma=False,
+    )
+    Sigma, mu, Js, hs, Sigma_cross_all, Sigma_x0_x0, mu_x0, logZ_total = shard(*elems)
+    return (
+        (Sigma, mu, Js, hs),
+        Sigma_cross_all[1:],
+        Sigma_cross_all[0],
+        Sigma_x0_x0,
+        mu_x0,
+        logZ_total,
+    )

@@ -60,3 +60,24 @@ def test_time_sharded_two_devices():
     out = time_sharded_forward_backward(trans, init, obs, _mesh(2))
     for x, z in zip(ref, out):
         np.testing.assert_allclose(np.asarray(x), np.asarray(z), atol=5e-5)
+
+
+def test_time_sharded_kalman_matches_single_device():
+    """Continuous-chain SP: time-sharded Kalman smoother == single-device."""
+    from pyvbmp_tpu.models import LinearDynamicalSystems
+    from pyvbmp_tpu.ops.parallel_kalman import parallel_kalman_smoother
+    from pyvbmp_tpu.parallel.seq_parallel import time_sharded_kalman_smoother
+    from pyvbmp_tpu.utils import rng
+
+    rng.seed(0)
+    lds = LinearDynamicalSystems((3,), 2, 0, 0, parallel_scan=True,
+                                 cross_cov_compat=False)
+    y = jax.random.normal(jax.random.key(5), (24, 4, 3))
+    yv, uv, rv = lds.reshape_inputs(y)
+    parms = lds._latent_parms(lds.A)
+    like = lds.log_likelihood_function(lds.obs_model, yv, rv)
+    ref = parallel_kalman_smoother(parms, lds.x0, like, uv, lane_form=False)
+    out = time_sharded_kalman_smoother(parms, lds.x0, like, uv, _mesh())
+    for x, z in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(out)):
+        denom = float(jnp.abs(np.asarray(x)).max()) + 1e-30
+        assert float(jnp.abs(np.asarray(x) - np.asarray(z)).max()) / denom < 2e-5
