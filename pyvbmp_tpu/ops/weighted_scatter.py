@@ -79,14 +79,14 @@ def weighted_outer_einsum(X, W):
 
 
 def weighted_outer(X, W, force=None, interpret=False):
-    """Dispatching entry point; X (S,p), W (S,K) -> (K,p,p)."""
+    """Dispatching entry point; X (S,p), W (S,K) -> (K,p,p).
+
+    Default is the einsum formulation (a single MXU matmul). The Pallas
+    kernel is opt-in via ``force="pallas"``: Mosaic compilation hangs on the
+    remote-attached (axon) TPU frontend this project targets, so
+    auto-dispatching to it is a production hang risk; its correctness is
+    covered in interpret mode (tests/test_untested_components.py).
+    """
     if force == "pallas":
         return weighted_outer_pallas(X, W, interpret=interpret)
-    if force == "einsum":
-        return weighted_outer_einsum(X, W)
-    on_tpu = jax.default_backend() not in ("cpu",)
-    S, p = X.shape
-    K = W.shape[-1]
-    if on_tpu and S >= 1024 and p >= 32 and S * K * p >= 1 << 22:
-        return weighted_outer_pallas(X, W)
     return weighted_outer_einsum(X, W)
