@@ -53,6 +53,7 @@ class LinearDynamicalSystems:
         B_mask=None,
         cross_cov_compat=True,
         parallel_scan=False,
+        time_mesh=None,
         key=None,
     ):
         import jax.random as jr
@@ -70,6 +71,10 @@ class LinearDynamicalSystems:
         self.event_dim = len(obs_shape)
         self.cross_cov_compat = cross_cov_compat
         self.parallel_scan = parallel_scan
+        # sequence parallelism: a Mesh with a "seq" axis shards the TIME
+        # axis of the smoother scans (parallel/seq_parallel.py); implies the
+        # corrected cross-covariance math like parallel_scan
+        self.time_mesh = time_mesh
         self.logZ = jnp.asarray(0.0)
         self.ELBO_last = -jnp.inf
         self.ELBO_save = []
@@ -462,9 +467,18 @@ class LinearDynamicalSystems:
         )
 
     def _smoother(self, parms, x0, like, u):
-        """Dispatch: sequential scans (bit-parity with the reference) or the
+        """Dispatch: sequential scans (bit-parity with the reference), the
         log-depth associative-scan smoother (TPU fast path; implies
-        cross_cov_compat=False semantics for the cross-covariances)."""
+        cross_cov_compat=False semantics for the cross-covariances), or the
+        time-sharded sequence-parallel smoother when ``time_mesh`` is set."""
+        if self.time_mesh is not None:
+            from ..parallel.seq_parallel import time_sharded_kalman_smoother
+
+            (Sigma, mu, Js, hs), Sigma_cross, Sigma_x0_cross, Sigma_x0_x0, mu_x0, logZ_total = (
+                time_sharded_kalman_smoother(parms, x0, like, u, self.time_mesh)
+            )
+            px = MVN_vf(mu=mu, Sigma=Sigma, invSigmamu=hs, invSigma=Js)
+            return px, Sigma_cross, Sigma_x0_cross, Sigma_x0_x0, mu_x0, logZ_total[None]
         if self.parallel_scan:
             from ..ops.parallel_kalman import parallel_kalman_smoother
 
@@ -552,9 +566,9 @@ class LinearDynamicalSystems:
         return KL + obs_model.KLqprior()
 
     def _jitted(self, name, fn, _prejitted=False, **kw):
-        # cross_cov_compat / parallel_scan are baked into the trace via
-        # ``self`` — key on them so toggling retraces (see hmm._jitted).
-        key = (name, self.cross_cov_compat, self.parallel_scan)
+        # cross_cov_compat / parallel_scan / time_mesh are baked into the
+        # trace via ``self`` — key on them so toggling retraces.
+        key = (name, self.cross_cov_compat, self.parallel_scan, self.time_mesh)
         if key not in self._jit_cache:
             self._jit_cache[key] = fn if _prejitted else jax.jit(fn, **kw)
         return self._jit_cache[key]

@@ -81,3 +81,28 @@ def test_time_sharded_kalman_matches_single_device():
     for x, z in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(out)):
         denom = float(jnp.abs(np.asarray(x)).max()) + 1e-30
         assert float(jnp.abs(np.asarray(x) - np.asarray(z)).max()) / denom < 2e-5
+
+
+def test_lds_fit_with_time_mesh_matches_parallel_scan():
+    """End-to-end: LinearDynamicalSystems(time_mesh=...) fits identically to
+    the resident-time associative-scan path."""
+    from pyvbmp_tpu.models import LinearDynamicalSystems
+    from pyvbmp_tpu.utils import rng
+
+    y = np.asarray(jax.random.normal(jax.random.key(6), (24, 4, 3)))
+    y = jnp.asarray(y, jnp.float32)
+
+    rng.seed(11)
+    a = LinearDynamicalSystems((3,), 2, 0, 0, parallel_scan=True,
+                               cross_cov_compat=False)
+    a.update(y, iters=3)
+
+    rng.seed(11)
+    b = LinearDynamicalSystems((3,), 2, 0, 0, cross_cov_compat=False,
+                               time_mesh=_mesh())
+    b.update(y, iters=3)
+
+    np.testing.assert_allclose(
+        np.asarray(a.ELBO_save), np.asarray(b.ELBO_save), rtol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(a.A.mu), np.asarray(b.A.mu), atol=2e-4)
