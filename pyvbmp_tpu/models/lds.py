@@ -471,7 +471,9 @@ class LinearDynamicalSystems:
         log-depth associative-scan smoother (TPU fast path; implies
         cross_cov_compat=False semantics for the cross-covariances), or the
         time-sharded sequence-parallel smoother when ``time_mesh`` is set."""
-        if self.time_mesh is not None:
+        # getattr: subclasses (DMBD, NLDS) build their state without running
+        # LDS.__init__ and predate this attribute
+        if getattr(self, "time_mesh", None) is not None:
             from ..parallel.seq_parallel import time_sharded_kalman_smoother
 
             (Sigma, mu, Js, hs), Sigma_cross, Sigma_x0_cross, Sigma_x0_x0, mu_x0, logZ_total = (
@@ -568,7 +570,12 @@ class LinearDynamicalSystems:
     def _jitted(self, name, fn, _prejitted=False, **kw):
         # cross_cov_compat / parallel_scan / time_mesh are baked into the
         # trace via ``self`` — key on them so toggling retraces.
-        key = (name, self.cross_cov_compat, self.parallel_scan, self.time_mesh)
+        key = (
+            name,
+            self.cross_cov_compat,
+            self.parallel_scan,
+            getattr(self, "time_mesh", None),
+        )
         if key not in self._jit_cache:
             self._jit_cache[key] = fn if _prejitted else jax.jit(fn, **kw)
         return self._jit_cache[key]
