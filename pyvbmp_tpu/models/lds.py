@@ -394,18 +394,27 @@ class LinearDynamicalSystems:
         Sigma = px.Sigma
         SE_x0_x0 = Sigma_x0_x0 + SE_x0 @ mT(SE_x0)
 
-        SE_x_x = (mu @ mT(mu) + Sigma).sum(0)
+        def tsum_outer(a, b):
+            """sum_t a_t b_t^T for (T,)+batch+(m,1) column stacks as ONE
+            dot_general contracting T (MXU-sized contraction) instead of
+            materializing the (T,)+batch+(m,n) outer products in HBM."""
+            shape = jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
+            a = jnp.broadcast_to(a, shape + a.shape[-2:])
+            b = jnp.broadcast_to(b, shape + b.shape[-2:])
+            return jnp.einsum("t...io,t...jo->...ij", a, b)
+
+        SE_x_x = tsum_outer(mu, mu) + Sigma.sum(0)
         SE_xp_xp = SE_x_x - (mu[-1] @ mT(mu[-1]) + Sigma[-1]) + SE_x0_x0
-        SE_x_u = (mu @ mT(u)).sum(0)
-        SE_xp_u = (mu[:-1] @ mT(u[1:])).sum(0) + SE_x0 @ mT(u[0])
-        SE_xp_x = (mu[:-1] @ mT(mu[1:])).sum(0) + Sigma_cross.sum(0)
+        SE_x_u = tsum_outer(mu, u)
+        SE_xp_u = tsum_outer(mu[:-1], u[1:]) + SE_x0 @ mT(u[0])
+        SE_xp_x = tsum_outer(mu[:-1], mu[1:]) + Sigma_cross.sum(0)
         SE_xp_x = SE_xp_x + SE_x0 @ mT(mu[0]) + Sigma_x0_cross
-        SE_x_r = (mu @ mT(r)).sum(0)
-        SE_x_y = (mu @ mT(y)).sum(0)
-        SE_u_u = (u @ mT(u)).sum(0)
-        SE_r_r = (r @ mT(r)).sum(0)
-        SE_y_y = (y @ mT(y)).sum(0)
-        SE_y_r = (y @ mT(r)).sum(0)
+        SE_x_r = tsum_outer(mu, r)
+        SE_x_y = tsum_outer(mu, y)
+        SE_u_u = tsum_outer(u, u)
+        SE_r_r = tsum_outer(r, r)
+        SE_y_y = tsum_outer(y, y)
+        SE_y_r = tsum_outer(y, r)
 
         sample_shape = y.shape[1 : y.ndim - self.event_dim - self.batch_dim - 1]
         SE_y_r = jnp.broadcast_to(
