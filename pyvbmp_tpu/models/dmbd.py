@@ -552,8 +552,11 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
         observables — the role/emission structure sanity check (reference
         DynamicMarkovBlanketDiscovery.py:344-375). Headless-safe; saves to
         ``path`` if given and returns the figure."""
-        import matplotlib
-        matplotlib.use("Agg")
+        if path is not None:
+            # headless save path: force a non-interactive backend; leave the
+            # user's backend alone when they just want the figure back
+            import matplotlib
+            matplotlib.use("Agg")
         from matplotlib import pyplot as plt
 
         B = np.abs(np.asarray(self.obs_model.obs_dist.mean())).sum(-2)
@@ -574,8 +577,9 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
         the structural mask instead (reference
         DynamicMarkovBlanketDiscovery.py:377-415). Headless-safe; saves to
         ``path`` if given and returns the figure."""
-        import matplotlib
-        matplotlib.use("Agg")
+        if path is not None:
+            import matplotlib
+            matplotlib.use("Agg")
         from matplotlib import pyplot as plt
 
         if type == "obs":

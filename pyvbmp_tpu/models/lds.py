@@ -397,11 +397,18 @@ class LinearDynamicalSystems:
         def tsum_outer(a, b):
             """sum_t a_t b_t^T for (T,)+batch+(m,1) column stacks as ONE
             dot_general contracting T (MXU-sized contraction) instead of
-            materializing the (T,)+batch+(m,n) outer products in HBM."""
+            materializing the (T,)+batch+(m,n) outer products in HBM.
+
+            precision=HIGHEST: TPU default feeds bf16 into the MXU; these are
+            M-step statistics whose covariance updates cancel E[yy'] against
+            ybar ybar' — the same class of silent collapse PARITY.md records
+            for the MNLR fixed point."""
             shape = jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
             a = jnp.broadcast_to(a, shape + a.shape[-2:])
             b = jnp.broadcast_to(b, shape + b.shape[-2:])
-            return jnp.einsum("t...io,t...jo->...ij", a, b)
+            return jnp.einsum(
+                "t...io,t...jo->...ij", a, b, precision=jax.lax.Precision.HIGHEST
+            )
 
         SE_x_x = tsum_outer(mu, mu) + Sigma.sum(0)
         SE_xp_xp = SE_x_x - (mu[-1] @ mT(mu[-1]) + Sigma[-1]) + SE_x0_x0

@@ -8,9 +8,10 @@ on the VPU; the Pallas kernel tiles the sample axis, fuses the weight
 multiply into an MXU matmul per (k, s-tile), and accumulates in VMEM — no
 intermediate ever touches HBM.
 
-``weighted_outer(X, W)`` dispatches: Pallas on TPU for large problems, a
-matmul-formulated einsum elsewhere (still MXU-friendly, one (S, K*p)
-intermediate).
+``weighted_outer(X, W)`` defaults to the matmul-formulated einsum (one MXU
+matmul, one (S, K*p) intermediate); the Pallas kernel is OPT-IN via
+``force="pallas"`` because Mosaic compilation hangs on the remote-attached
+(axon) TPU frontend this project targets — see the function docstring.
 """
 from __future__ import annotations
 

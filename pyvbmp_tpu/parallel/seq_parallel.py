@@ -81,7 +81,7 @@ def _sharded_prefix(fn, elems, axis_name, flip_axis):
     return _tree_where(idx > 0, out, local)
 
 
-def shift_up(x, axis_name, fill=0.0, flip_axis=False):
+def shift_up(x, axis_name, fill=0.0):
     """x[t] <- x[t+1] across the sharded time axis (zero-fill at the global
     end): local roll + halo exchange of each device's first row with its
     left neighbour via ppermute."""
@@ -93,42 +93,31 @@ def shift_up(x, axis_name, fill=0.0, flip_axis=False):
         )
         if D == 1:
             return nxt
-        first = a[:1]
-        # send my first row to my left neighbour (device d -> d-1 in time
-        # order; with flip_axis the device order along time is reversed)
-        if flip_axis:
-            perm = [(d, (d + 1) % D) for d in range(D)]
-        else:
-            perm = [(d, (d - 1) % D) for d in range(D)]
-        halo = jax.lax.ppermute(first, axis_name, perm)
+        # send my first row to my left neighbour (device d -> d-1 in time order)
+        perm = [(d, (d - 1) % D) for d in range(D)]
+        halo = jax.lax.ppermute(a[:1], axis_name, perm)
         idx = jax.lax.axis_index(axis_name)
-        tidx = (D - 1 - idx) if flip_axis else idx
-        is_last = tidx == D - 1
-        tail = jnp.where(is_last, jnp.full_like(halo, fill), halo)
+        tail = jnp.where(idx == D - 1, jnp.full_like(halo, fill), halo)
         return nxt.at[-1:].set(tail)
 
     return jax.tree.map(one, x)
 
 
-def shift_down(x, axis_name, first_row, flip_axis=False):
+def shift_down(x, axis_name, first_row):
     """x[t] <- x[t-1] across the sharded time axis; the global row 0 becomes
     ``first_row`` (shape = one time row)."""
     D = jax.lax.axis_size(axis_name)
 
     def one(a, fr):
-        prev = jnp.concatenate([fr[None] if fr.ndim == a.ndim - 1 else fr[:1], a[:-1]], 0)
+        frow = fr[None] if fr.ndim == a.ndim - 1 else fr[:1]
+        prev = jnp.concatenate([frow, a[:-1]], 0)
         if D == 1:
             return prev
-        last = a[-1:]
-        if flip_axis:
-            perm = [(d, (d - 1) % D) for d in range(D)]
-        else:
-            perm = [(d, (d + 1) % D) for d in range(D)]
-        halo = jax.lax.ppermute(last, axis_name, perm)
+        # send my last row to my right neighbour (device d -> d+1 in time order)
+        perm = [(d, (d + 1) % D) for d in range(D)]
+        halo = jax.lax.ppermute(a[-1:], axis_name, perm)
         idx = jax.lax.axis_index(axis_name)
-        tidx = (D - 1 - idx) if flip_axis else idx
-        frow = fr[None] if fr.ndim == a.ndim - 1 else fr[:1]
-        head = jnp.where(tidx == 0, frow, halo)
+        head = jnp.where(idx == 0, frow, halo)
         return prev.at[:1].set(head)
 
     return jax.tree.map(one, x, first_row)
@@ -144,9 +133,7 @@ def time_sharded_forward_backward(trans_logits, init_logits, obs_logits, mesh,
     trans_logits: (K, K), init_logits: (K,), obs_logits: (T,)+batch+(K,).
     T must divide by the mesh axis size.
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    K = trans_logits.shape[-1]
+    from jax.sharding import PartitionSpec as P
 
     def body(trans, init, obs):
         M = trans + obs[:, ..., None, :]
@@ -208,7 +195,7 @@ def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq"):
     shift, alpha_{t-1} for cross-covariances) become ppermute halo
     exchanges.
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
     from ..ops.parallel_kalman import (
         _build_elements,
         _combine,
@@ -243,9 +230,7 @@ def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq"):
         Sigma_x0_x0 = sym_inv(first(Jb_all))
         mu_x0 = Sigma_x0_x0 @ first(hvb_all)
 
-        Jalpha_prev = shift_down(
-            Ja, time_axis, jnp.zeros_like(Ja[0]), flip_axis=False
-        )
+        Jalpha_prev = shift_down(Ja, time_axis, jnp.zeros_like(Ja[0]))
         A = Jalpha_prev + Jaa
         B = Jab
         D = Jbb + Jbeta

@@ -155,34 +155,34 @@ def test_dmbd_unique_obs_per_observation_roles():
     [
         (2, (4,)),
         (3, ()),
-        # h=6 XLA-CPU compile of the lane graph takes minutes; the TPU path
-        # at h=6 is exercised end-to-end by the DMBD parity oracle
+        # h=6 XLA-CPU compile of the lane graph takes minutes, so the scan-
+        # level check is slow-marked; the h>=4 Schur algebra itself is gated
+        # eagerly in test_untested_components.py::test_smallmat_sym_inv_logdet_schur_branch
         pytest.param(6, (2,), marks=pytest.mark.slow),
     ],
 )
 def test_kalman_lane_form_equals_dense(h, K):
     from pyvbmp_tpu.ops.parallel_kalman import parallel_kalman_smoother
 
-    if True:
-        rng.seed(0)
-        lds = LinearDynamicalSystems((3,), h, 0, 0, batch_shape=K,
-                                     parallel_scan=True)
-        lds.expand_to_batch = bool(K)
-        y = jax.random.normal(jax.random.key(1), (20, 5, 3))
-        yv, uv, rv = lds.reshape_inputs(y)
-        parms = lds._latent_parms(lds.A)
-        like = lds.log_likelihood_function(lds.obs_model, yv, rv)
-        run = jax.jit(
-            lambda lane: parallel_kalman_smoother(
-                parms, lds.x0, like, uv, lane_form=lane
-            ),
-            static_argnums=0,
-        )
-        a = run(False)
-        b = run(True)
-        for x, z in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
-            denom = float(jnp.abs(x).max()) + 1e-30
-            assert float(jnp.abs(x - z).max()) / denom < 1e-5, h
+    rng.seed(0)
+    lds = LinearDynamicalSystems((3,), h, 0, 0, batch_shape=K,
+                                 parallel_scan=True)
+    lds.expand_to_batch = bool(K)
+    y = jax.random.normal(jax.random.key(1), (20, 5, 3))
+    yv, uv, rv = lds.reshape_inputs(y)
+    parms = lds._latent_parms(lds.A)
+    like = lds.log_likelihood_function(lds.obs_model, yv, rv)
+    run = jax.jit(
+        lambda lane: parallel_kalman_smoother(
+            parms, lds.x0, like, uv, lane_form=lane
+        ),
+        static_argnums=0,
+    )
+    a = run(False)
+    b = run(True)
+    for x, z in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        denom = float(jnp.abs(x).max()) + 1e-30
+        assert float(jnp.abs(x - z).max()) / denom < 1e-5, h
 
 
 def test_hmm_lane_form_equals_dense():

@@ -162,3 +162,25 @@ def test_dmbd_plot_observation_and_transition(tmp_path):
     m.plot_transition(type="latent", use_mask=True, path=str(paths["Amask"]))
     for p in paths.values():
         assert p.exists() and p.stat().st_size > 1000, p
+
+
+# -------------------------------------------- smallmat Schur recursion (h>=4)
+@pytest.mark.parametrize("h", [4, 5, 6, 8])
+def test_smallmat_sym_inv_logdet_schur_branch(h):
+    """The lane smoothers' straight-line symmetric inverse above the
+    closed-form h<=3 adjugates (the Schur split) vs numpy, eagerly — this is
+    the branch production DMBD (h=6) runs on TPU."""
+    from pyvbmp_tpu.ops import smallmat as sm
+
+    rs = np.random.RandomState(h)
+    B = 5
+    A = rs.randn(B, h, h).astype(np.float64)
+    A = A @ A.transpose(0, 2, 1) + h * np.eye(h)
+    comp = {k: jnp.asarray(v) for k, v in sm.sym_pack(jnp.asarray(A)).items()}
+    inv_c, ld = sm.sym_inv_and_logdet(h, comp)
+    inv = np.asarray(sm.sym_unpack(inv_c, h))
+    # jnp arrays are f32 here (x64 off in the default gate)
+    np.testing.assert_allclose(inv, np.linalg.inv(A), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(ld), np.linalg.slogdet(A)[1], rtol=2e-6
+    )
