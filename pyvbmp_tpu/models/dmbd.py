@@ -23,6 +23,23 @@ from .arhmm import ARHMM_prXRY
 from .lds import LinearDynamicalSystems
 
 
+def _agg_if_no_backend(
+):
+    """Select the Agg backend for headless figure saves WITHOUT clobbering an
+    interactive backend the user already has loaded (a global
+    ``matplotlib.use('Agg')`` would kill their GUI for all later plots)."""
+    import sys
+
+    if "matplotlib.pyplot" in sys.modules:
+        return  # a backend is already live; fig.savefig works on any backend
+    import matplotlib
+
+    try:
+        matplotlib.use("Agg", force=False)
+    except Exception:
+        pass
+
+
 def _block(A, B, C, D):
     return np.block([[A, B], [C, D]])
 
@@ -160,6 +177,7 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
         number_of_objects=1,
         unique_obs=False,
         parallel_scan=False,
+        time_mesh=None,
         key=None,
     ):
         from ..utils.rng import key_or_next
@@ -208,8 +226,12 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
         self.iters = 0
         self.px = None
         self.ELBO_last = -jnp.inf
-        self.cross_cov_compat = not parallel_scan
+        self.cross_cov_compat = not (parallel_scan or time_mesh is not None)
         self.parallel_scan = parallel_scan
+        # sequence parallelism: shards the TIME axis of BOTH the role HMM scan
+        # and the Kalman smoother over the mesh's "seq" axis
+        # (parallel/seq_parallel.py); implies corrected cross-cov math
+        self.time_mesh = time_mesh
         self.latent_noise = "independent"
         self._jit_cache = {}
 
@@ -294,7 +316,14 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
         px4r = self._px4r(px, r)
         XRY = (px4r, jnp.expand_dims(r, -unsdim), jnp.expand_dims(y, -unsdim))
         logits = om._obs_logits(B, XRY)
-        if self.parallel_scan:
+        if getattr(self, "time_mesh", None) is not None:
+            from ..parallel.seq_parallel import time_sharded_forward_backward
+
+            def fb(trans, init, lg, ptemp):
+                return time_sharded_forward_backward(
+                    trans, init, lg, self.time_mesh, ptemp=ptemp
+                )
+        elif self.parallel_scan:
             from ..ops.parallel_hmm import forward_backward_parallel as fb
         else:
             from .hmm import forward_backward as fb
@@ -425,7 +454,14 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
         # obs_model.ptemp is read through ``self`` at trace time (baked into
         # the compiled sweep) — key on it so ptemp annealing between update
         # calls (reference Artificial_Life_example.py:54-57) retraces.
-        key = ("multi", latent_iters, iters, self.obs_model.ptemp, self.parallel_scan)
+        key = (
+            "multi",
+            latent_iters,
+            iters,
+            self.obs_model.ptemp,
+            self.parallel_scan,
+            getattr(self, "time_mesh", None),
+        )
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
                 self._dmbd_multi, static_argnames=("latent_iters", "iters")
@@ -553,10 +589,7 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
         DynamicMarkovBlanketDiscovery.py:344-375). Headless-safe; saves to
         ``path`` if given and returns the figure."""
         if path is not None:
-            # headless save path: force a non-interactive backend; leave the
-            # user's backend alone when they just want the figure back
-            import matplotlib
-            matplotlib.use("Agg")
+            _agg_if_no_backend()
         from matplotlib import pyplot as plt
 
         B = np.abs(np.asarray(self.obs_model.obs_dist.mean())).sum(-2)
@@ -578,8 +611,7 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
         DynamicMarkovBlanketDiscovery.py:377-415). Headless-safe; saves to
         ``path`` if given and returns the figure."""
         if path is not None:
-            import matplotlib
-            matplotlib.use("Agg")
+            _agg_if_no_backend()
         from matplotlib import pyplot as plt
 
         if type == "obs":
@@ -592,8 +624,15 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
         else:
             M = self.A.mask if use_mask else jnp.abs(self.A.mean())
             dims = self.hidden_dims
-        M = np.asarray(M)
-        M = M.reshape(M.shape[-2], M.shape[-1])
+        M = np.squeeze(np.asarray(M))
+        if M.ndim != 2:
+            raise ValueError(
+                "plot_transition needs a single matrix; got shape "
+                f"{M.shape} after squeezing — select one batch entry first"
+            )
+        if type != "obs":
+            # drop the control/bias columns so the S/B/Z x-axis labels line up
+            M = M[:, : M.shape[0]]
         fig, ax = plt.subplots()
         ax.imshow(M)
         self._annotate_sbz(ax, dims, "x")

@@ -82,7 +82,8 @@ def forward_backward(trans_logits, init_logits, obs_logits, ptemp=1.0):
 class HMM:
     """Stateful shell; all heavy work happens in jitted pure functions."""
 
-    def __init__(self, obs_dist, transition_mask=None, ptemp=1.0, parallel_scan=False, key=None):
+    def __init__(self, obs_dist, transition_mask=None, ptemp=1.0, parallel_scan=False,
+                 time_mesh=None, key=None):
         from ..utils.rng import key_or_next
         import jax.random as jr
 
@@ -110,6 +111,9 @@ class HMM:
         self.p = None
         self.ptemp = ptemp
         self.parallel_scan = parallel_scan
+        # sequence parallelism: a Mesh with a "seq" axis shards the TIME axis
+        # of the forward-backward scans (parallel/seq_parallel.py)
+        self.time_mesh = time_mesh
         self.logZ = jnp.asarray(-jnp.inf)
         self.ELBO_last = jnp.asarray(-jnp.inf)
         self.ELBO_save = []
@@ -130,7 +134,16 @@ class HMM:
     # -- pure E-step ----------------------------------------------------------------
     def _estep(self, transition, initial, obs_dist, X):
         logits = self._obs_logits(obs_dist, X)
-        if self.parallel_scan:
+        # getattr: subclasses built without running HMM.__init__ predate the
+        # time_mesh attribute
+        if getattr(self, "time_mesh", None) is not None:
+            from ..parallel.seq_parallel import time_sharded_forward_backward
+
+            def fb(trans, init, lg, ptemp):
+                return time_sharded_forward_backward(
+                    trans, init, lg, self.time_mesh, ptemp=ptemp
+                )
+        elif self.parallel_scan:
             from ..ops.parallel_hmm import forward_backward_parallel as fb
         else:
             fb = forward_backward
@@ -165,7 +178,12 @@ class HMM:
         # they're baked into the compiled function — key the cache on them or
         # a user mutating them between updates (e.g. ptemp annealing) would
         # silently keep the stale trace.
-        key = (name, getattr(self, "ptemp", None), getattr(self, "parallel_scan", None))
+        key = (
+            name,
+            getattr(self, "ptemp", None),
+            getattr(self, "parallel_scan", None),
+            getattr(self, "time_mesh", None),
+        )
         if key not in self._jit_cache:
             self._jit_cache[key] = fn if _prejitted else jax.jit(fn, **jitkw)
         return self._jit_cache[key]

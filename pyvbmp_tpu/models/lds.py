@@ -565,12 +565,12 @@ class LinearDynamicalSystems:
         )
         return x0, A, stats
 
-    def _vb_step(self, x0, A, obs_model, y, u, r, lr):
+    def _vb_step(self, x0, A, obs_model, y, u, r, lr, p=None):
         px, ss = self._update_latents(x0, A, obs_model, y, u, r)
         logZ = ss["logZ"]
         KL = self._KL(x0, A, obs_model)
         ELBO = sum_leading(logZ, self.batch_dim).sum() - KL.sum()
-        x0, A, stats = self._ss_update(x0, A, ss, p=None, lr=lr)
+        x0, A, stats = self._ss_update(x0, A, ss, p=p, lr=lr)
         obs_model = obs_model.ss_update(
             stats["SE_xr_xr"], stats["SE_y_xr"], stats["SE_y_y"], stats["T"], lr
         )
@@ -596,12 +596,14 @@ class LinearDynamicalSystems:
             self._jit_cache[key] = fn if _prejitted else jax.jit(fn, **kw)
         return self._jit_cache[key]
 
-    def _vb_multi(self, x0, A, obs_model, y, u, r, lr, iters):
+    def _vb_multi(self, x0, A, obs_model, y, u, r, lr, iters, p=None):
         """``iters`` VB-EM sweeps fused into one lax.scan (single device call)."""
 
         def body(carry, _):
             x0, A, obs_model = carry
-            x0, A, obs_model, px, logZ, L = self._vb_step(x0, A, obs_model, y, u, r, lr)
+            x0, A, obs_model, px, logZ, L = self._vb_step(
+                x0, A, obs_model, y, u, r, lr, p
+            )
             return (x0, A, obs_model), (L, logZ)
 
         (x0, A, obs_model), (Ls, logZs) = jax.lax.scan(
@@ -614,15 +616,19 @@ class LinearDynamicalSystems:
     # ---------------------------------------------------------- reference API
     def update(self, y, u=None, r=None, p=None, iters=1, lr=1.0, verbose=False):
         y, u, r = self.reshape_inputs(y, u, r)
-        self._update_reshaped(y, u, r, iters=iters, lr=lr, verbose=verbose)
+        self._update_reshaped(y, u, r, p=p, iters=iters, lr=lr, verbose=verbose)
 
-    def _update_reshaped(self, y, u, r, iters=1, lr=1.0, verbose=False):
+    def _update_reshaped(self, y, u, r, p=None, iters=1, lr=1.0, verbose=False):
         """VB sweeps on already-reshaped (possibly mesh-sharded) inputs — the
-        single step dispatcher shared by update() and parallel.api."""
+        single step dispatcher shared by update() and parallel.api.
+
+        ``p`` (sample x batch assignment weights) weights the M-step
+        sufficient statistics exactly like the reference's p-weighted
+        ss_update (LinearDynamicalSystems.py:86-104)."""
         if iters == 1:
             step = self._jitted("vb_step", self._vb_step)
             self.x0, self.A, self.obs_model, self.px, self.logZ, L = step(
-                self.x0, self.A, self.obs_model, y, u, r, lr
+                self.x0, self.A, self.obs_model, y, u, r, lr, p
             )
             Ls = [L]
         else:
@@ -632,7 +638,7 @@ class LinearDynamicalSystems:
                 _prejitted=True,
             )
             self.x0, self.A, self.obs_model, self.px, self.logZ, Ls = fn(
-                self.x0, self.A, self.obs_model, y, u, r, lr, iters
+                self.x0, self.A, self.obs_model, y, u, r, lr, iters, p
             )
             Ls = np.asarray(Ls)
         L_last = self.ELBO_last

@@ -13,7 +13,7 @@ from .lds import LinearDynamicalSystems
 
 class MixtureofLinearDynamicalSystems:
     def __init__(self, num_systems, obs_shape, hidden_dim, control_dim, regression_dim,
-                 parallel_scan=False, key=None):
+                 parallel_scan=False, time_mesh=None, key=None):
         from ..utils.rng import key_or_next
         import jax.random as jr
 
@@ -21,7 +21,9 @@ class MixtureofLinearDynamicalSystems:
         self.num_systems = num_systems
         # parallel_scan uses the O(log T) associative-scan smoother; it
         # implies the corrected cross-covariance math (cross_cov_compat=False,
-        # same trade as DMBD's parallel path)
+        # same trade as DMBD's parallel path).  time_mesh shards the TIME axis
+        # of the smoother over the mesh's "seq" axis (sequence parallelism,
+        # parallel/seq_parallel.py) and likewise implies corrected cross-covs.
         self.lds = LinearDynamicalSystems(
             obs_shape,
             hidden_dim,
@@ -29,8 +31,9 @@ class MixtureofLinearDynamicalSystems:
             regression_dim,
             latent_noise="independent",
             batch_shape=(num_systems,),
-            cross_cov_compat=not parallel_scan,
+            cross_cov_compat=not (parallel_scan or time_mesh is not None),
             parallel_scan=parallel_scan,
+            time_mesh=time_mesh,
             key=key,
         )
         self.lds.expand_to_batch = True
@@ -73,7 +76,11 @@ class MixtureofLinearDynamicalSystems:
     def update(self, y, u=None, r=None, iters=1, lr=1.0, verbose=False):
         y, u, r = self.lds.reshape_inputs(y, u, r)
         # key on smoother flags: they're baked into the trace (see lds._jitted)
-        jkey = (self.lds.parallel_scan, self.lds.cross_cov_compat)
+        jkey = (
+            self.lds.parallel_scan,
+            self.lds.cross_cov_compat,
+            getattr(self.lds, "time_mesh", None),
+        )
         if not isinstance(self._jit, dict):
             self._jit = {}
         if jkey not in self._jit:

@@ -24,6 +24,11 @@ import jax.numpy as jnp
 from ..utils import math as um
 
 LANE_HMM_MAX_K = int(os.environ.get("PYVBMP_LANE_HMM_MAX_K", "8"))
+# plane form (see ops/planemat.py): stacked (T, K, K, N) layout with the
+# batch on the lanes and O(1) HLO ops per semiring matmul — the
+# K > LANE_HMM_MAX_K escape hatch (Flocking roles: K = 14). Above this,
+# fall back to dense.
+PLANE_HMM_MAX_K = int(os.environ.get("PYVBMP_PLANE_HMM_MAX_K", "32"))
 
 
 def _logmatmul(a, b):
@@ -121,8 +126,71 @@ def _hmm_lane_core(M, init_logits, ptemp):
     return p_d, xi_d, SEz0, logZ_d
 
 
+# ---------------------------------------------------------- plane-form pieces
+def _lse_axis(x, axis):
+    """Stable logsumexp over one axis with the -inf guard."""
+    m = x.max(axis)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    return m + jnp.log(jnp.exp(x - jnp.expand_dims(m, axis)).sum(axis))
+
+
+def _logmatmul_plane(a, b):
+    """(log,+) matmul in plane layout (T, K, K, N): one broadcast add + one
+    stable reduction, lanes on N."""
+    terms = a[..., :, :, None, :] + b[..., None, :, :, :]  # (T, i, m, j, N)
+    m = terms.max(-3)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    s = jnp.exp(terms - m[..., :, None, :, :]).sum(-3)
+    return m + jnp.log(s)
+
+
+def _hmm_plane_core(M, init_logits, ptemp):
+    """_hmm_lane_core in plane layout: same returns
+    (p, xi (T,)+b+(K,K), SEz0, logZ), O(1) HLO ops per combine."""
+    T, K = M.shape[0], M.shape[-1]
+    bshape = M.shape[1:-2]
+    N = 1
+    for s in bshape:
+        N *= s
+
+    Mp = M.reshape(T, N, K, K).transpose(0, 2, 3, 1)  # (T, K, K, N)
+    ivec = (
+        jnp.broadcast_to(init_logits, bshape + (K,)).reshape(N, K).T
+    )  # (K, N)
+
+    prefix = jax.lax.associative_scan(_logmatmul_plane, Mp, axis=0)
+    suffix = jax.lax.associative_scan(
+        lambda a, b: _logmatmul_plane(b, a), Mp, axis=0, reverse=True
+    )
+
+    alpha = _lse_axis(ivec[None, :, None, :] + prefix, -3)  # (T, K, N)
+    logZ = _lse_axis(alpha[-1], 0)  # (N,)
+    alpha = alpha - logZ
+
+    beta = _lse_axis(suffix, -2)  # (T, K, N)
+    beta_t = jnp.concatenate([beta[1:], jnp.zeros_like(beta[:1])], 0)
+
+    smoothed = alpha + beta_t
+    smoothed = smoothed - jnp.expand_dims(_lse_axis(smoothed, -2), -2)
+
+    alpha_prev = jnp.concatenate([ivec[None], alpha[:-1]], 0)
+    xi = alpha_prev[..., :, None, :] + Mp + beta_t[..., None, :, :]
+    xin = _lse_axis(xi.reshape(T, K * K, N), -2)  # (T, N)
+    xi = jnp.exp(xi - xin[..., None, None, :])
+
+    mx = smoothed.max(-2)
+    p = jnp.exp((smoothed - jnp.expand_dims(mx, -2)) / ptemp)
+    p = p / p.sum(-2, keepdims=True)
+
+    p_d = p.transpose(0, 2, 1).reshape((T,) + bshape + (K,))
+    xi_d = xi.transpose(0, 3, 1, 2).reshape((T,) + bshape + (K, K))
+    SEz0 = xi_d[0].sum(-1)
+    logZ_d = logZ.reshape(bshape)
+    return p_d, xi_d, SEz0, logZ_d
+
+
 def forward_backward_parallel(trans_logits, init_logits, obs_logits, ptemp=1.0,
-                              lane_form=None):
+                              lane_form=None, plane_form=None):
     """Same contract as models.hmm.forward_backward (reference
     HMM.forward_backward_logits:72-105) with log-depth scans.
 
@@ -138,9 +206,14 @@ def forward_backward_parallel(trans_logits, init_logits, obs_logits, ptemp=1.0,
     bshape = M.shape[1:-2]
 
     if lane_form is None:
-        lane_form = K <= LANE_HMM_MAX_K
+        lane_form = K <= LANE_HMM_MAX_K and plane_form is not True
     if lane_form:
         p, xi, SEz0, logZ = _hmm_lane_core(M, init_logits, ptemp)
+        return p, xi.sum(0), SEz0, logZ
+    if plane_form is None:
+        plane_form = K <= PLANE_HMM_MAX_K
+    if plane_form:
+        p, xi, SEz0, logZ = _hmm_plane_core(M, init_logits, ptemp)
         return p, xi.sum(0), SEz0, logZ
 
     # alpha_t = init ⊗ M_0 ⊗ ... ⊗ M_t  (prefix scan, row-vector form)
@@ -184,7 +257,7 @@ def forward_backward_parallel(trans_logits, init_logits, obs_logits, ptemp=1.0,
 
 
 def driven_forward_backward_parallel(trans_logits, init_logits, obs_logits, ptemp=1.0,
-                                     lane_form=None):
+                                     lane_form=None, plane_form=None):
     """Input-driven variant: per-time transition logits (T,)+...+(K,K) and
     per-time pairwise statistics (reference models/dHMM.py semantics), with
     the same log-depth scans.  Returns (p, SEzz per-time, SEz0, logZ)."""
@@ -192,9 +265,14 @@ def driven_forward_backward_parallel(trans_logits, init_logits, obs_logits, ptem
     M = trans_logits + obs_logits[:, ..., None, :]
 
     if lane_form is None:
-        lane_form = M.shape[-1] <= LANE_HMM_MAX_K
+        lane_form = M.shape[-1] <= LANE_HMM_MAX_K and plane_form is not True
     if lane_form:
         p, xi, SEz0, logZ = _hmm_lane_core(M, init_logits, ptemp)
+        return p, xi, SEz0, logZ
+    if plane_form is None:
+        plane_form = M.shape[-1] <= PLANE_HMM_MAX_K
+    if plane_form:
+        p, xi, SEz0, logZ = _hmm_plane_core(M, init_logits, ptemp)
         return p, xi, SEz0, logZ
 
     prefix = jax.lax.associative_scan(_logmatmul, M, axis=0)

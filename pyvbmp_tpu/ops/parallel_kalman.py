@@ -46,6 +46,10 @@ from . import smallmat as sm
 # above this the metaprogrammed Schur recursion bloats the HLO graph and
 # compile time with little runtime payoff.
 LANE_KALMAN_MAX_H = int(os.environ.get("PYVBMP_LANE_KALMAN_MAX_H", "8"))
+# plane form (ops/planemat.py) keeps the lane-resident batch layout with an
+# O(1)-HLO-ops-per-matmul formulation: the h > 8 escape hatch that the
+# Flocking north star (h = 14) needs. Above this, fall back to dense.
+PLANE_KALMAN_MAX_H = int(os.environ.get("PYVBMP_PLANE_KALMAN_MAX_H", "32"))
 
 
 def _build_elements(parms, x0, like, u):
@@ -354,7 +358,145 @@ def _lane_smoother(elems, bshape, T, h):
     )
 
 
-def parallel_kalman_smoother(parms, x0, like, u, lane_form=None):
+# ============================================================ plane layout path
+def _combine_plane(e1, e2):
+    """_combine in plane layout (ops/planemat.py): O(1) HLO ops per matmul,
+    batch on the lanes — the h > LANE_KALMAN_MAX_H fast path."""
+    from . import planemat as pm
+
+    J1aa, J1ab, J1bb, h1a, h1b, w1 = e1
+    J2aa, J2ab, J2bb, h2a, h2b, w2 = e2
+    h = J1bb.shape[-2]
+    M = J1bb + J2aa
+    hmid = h1b + h2a
+    Minv, logdetM = pm.bsym_inv_and_logdet(M)
+    Minv_J1abT = pm.bmm(Minv, J1ab, t_b=True)
+    Minv_J2ab = pm.bmm(Minv, J2ab)
+    Minv_h = pm.bmv(Minv, hmid)
+    Jaa = J1aa - pm.bmm(J1ab, Minv_J1abT)
+    Jbb = J2bb - pm.bmm(J2ab, Minv_J2ab, t_a=True)
+    Jab = -pm.bmm(J1ab, Minv_J2ab)
+    ha = h1a - pm.bmv(J1ab, Minv_h)
+    hb = h2b - pm.bmv(J2ab, Minv_h, t_a=True)
+    w = (
+        w1
+        + w2
+        + 0.5 * pm.bvdot(hmid, Minv_h)
+        - 0.5 * logdetM
+        + 0.5 * h * um.LOG2PI
+    )
+    return (Jaa, Jab, Jbb, ha, hb, w)
+
+
+def _marginalize_left_plane(e):
+    from . import planemat as pm
+
+    Jaa, Jab, Jbb, ha, hb, w = e
+    h = Jaa.shape[-2]
+    Ainv, logdetA = pm.bsym_inv_and_logdet(Jaa)
+    Ainv_Jab = pm.bmm(Ainv, Jab)
+    Ainv_ha = pm.bmv(Ainv, ha)
+    J = Jbb - pm.bmm(Jab, Ainv_Jab, t_a=True)
+    hv = hb - pm.bmv(Jab, Ainv_ha, t_a=True)
+    logc = w + 0.5 * pm.bvdot(ha, Ainv_ha) - 0.5 * logdetA + 0.5 * h * um.LOG2PI
+    return J, hv, logc
+
+
+def _marginalize_right_plane(e):
+    from . import planemat as pm
+
+    Jaa, Jab, Jbb, ha, hb, w = e
+    h = Jbb.shape[-2]
+    Dinv, logdetD = pm.bsym_inv_and_logdet(Jbb)
+    Dinv_JabT = pm.bmm(Dinv, Jab, t_b=True)
+    Dinv_hb = pm.bmv(Dinv, hb)
+    J = Jaa - pm.bmm(Jab, Dinv_JabT)
+    hv = ha - pm.bmv(Jab, Dinv_hb)
+    logc = w + 0.5 * pm.bvdot(hb, Dinv_hb) - 0.5 * logdetD + 0.5 * h * um.LOG2PI
+    return J, hv, logc
+
+
+def _plane_smoother(elems, bshape, T, h):
+    from . import planemat as pm
+
+    (Jaa_d, Jab_d, Jbb_d, ha_d, hb_d, logw_d) = elems
+    N = 1
+    for s in bshape[:-2]:
+        N *= s
+
+    Jaa = pm.pack(Jaa_d)
+    Jab = pm.pack(Jab_d)
+    Jbb = pm.pack(Jbb_d)
+    ha = pm.pack_vec(ha_d)
+    hb = pm.pack_vec(hb_d)
+    logw = logw_d.reshape(T, N)
+    elems_p = (Jaa, Jab, Jbb, ha, hb, logw)
+
+    prefix = jax.lax.associative_scan(_combine_plane, elems_p, axis=0)
+    suffix = jax.lax.associative_scan(
+        lambda a, b: _combine_plane(b, a), elems_p, axis=0, reverse=True
+    )
+
+    Ja, hva, logca = _marginalize_left_plane(prefix)
+    Jb_all, hvb_all, _ = _marginalize_right_plane(suffix)
+
+    def shift_up(a):
+        return jnp.concatenate([a[1:], jnp.zeros_like(a[:1])], 0)
+
+    Jbeta = shift_up(Jb_all)
+    hbeta = shift_up(hvb_all)
+
+    # smoothed marginals
+    Js = Ja + Jbeta
+    hs = hva + hbeta
+    Sigma, _ld = pm.bsym_inv_and_logdet(Js)
+    mu = pm.bmv(Sigma, hs)
+
+    # prior-side marginal q(x_{-1})
+    Sigma_x0_x0, _ = pm.bsym_inv_and_logdet(Jb_all[:1])
+    mu_x0 = pm.bmv(Sigma_x0_x0, hvb_all[:1])
+
+    # pairwise cross-covariances Sigma_{t-1,t}
+    Jalpha_prev = jnp.concatenate([jnp.zeros_like(Ja[:1]), Ja[:-1]], 0)
+    A = Jalpha_prev + Jaa
+    D = Jbb + Jbeta
+    Ainv, _ = pm.bsym_inv_and_logdet(A)
+    Ainv_B = pm.bmm(Ainv, Jab)
+    Sbb, _ = pm.bsym_inv_and_logdet(pm.bsym(D - pm.bmm(Jab, Ainv_B, t_a=True)))
+    Sigma_cross_all = -pm.bmm(Ainv_B, Sbb)
+
+    # total logZ from the last filtered potential
+    JaInv, logdetJ = pm.bsym_inv_and_logdet(Ja[-1:])
+    sol = pm.bmv(JaInv, hva[-1:])
+    logZ_total = (
+        logca[-1]
+        + 0.5 * pm.bvdot(hva[-1:], sol)[0]
+        - 0.5 * logdetJ[0]
+        + 0.5 * h * um.LOG2PI
+    )
+
+    bout = bshape[:-2]
+    Sigma_d = pm.unpack(Sigma, bout)
+    mu_d = pm.unpack_vec(mu, bout)
+    Js_d = pm.unpack(Js, bout)
+    hs_d = pm.unpack_vec(hs, bout)
+    Sigma_cross_d = pm.unpack(Sigma_cross_all, bout)
+    Sigma_x0_cross = Sigma_cross_d[0]
+    Sigma_cross = Sigma_cross_d[1:]
+    Sigma_x0_x0_d = pm.unpack(Sigma_x0_x0, bout)[0]
+    mu_x0_d = pm.unpack_vec(mu_x0, bout)[0]
+    logZ_d = logZ_total.reshape(bout)
+    return (
+        (Sigma_d, mu_d, Js_d, hs_d),
+        Sigma_cross,
+        Sigma_x0_cross,
+        Sigma_x0_x0_d,
+        mu_x0_d,
+        logZ_d,
+    )
+
+
+def parallel_kalman_smoother(parms, x0, like, u, lane_form=None, plane_form=None):
     """Drop-in replacement for the sequential forward_backward_loop
     (models/lds.py): returns (px_parts, Sigma_cross, Sigma_x0_cross,
     Sigma_x0_x0, mu_x0, logZ_total).
@@ -363,10 +505,16 @@ def parallel_kalman_smoother(parms, x0, like, u, lane_form=None):
     like:  (invSigma_like, invSigmamu_like, Residual_like), each (T,)+...
     u:     (T,)+...+(control,1)
     lane_form: force the component-layout path on/off (default: h-based).
+    plane_form: force the stacked-plane layout on/off (default: h-based —
+        picked for LANE_KALMAN_MAX_H < h <= PLANE_KALMAN_MAX_H).
     """
     elems, bshape, T, hdim = _build_elements(parms, x0, like, u)
     if lane_form is None:
-        lane_form = hdim <= LANE_KALMAN_MAX_H
+        lane_form = hdim <= LANE_KALMAN_MAX_H and plane_form is not True
     if lane_form:
         return _lane_smoother(elems, bshape, T, hdim)
+    if plane_form is None:
+        plane_form = hdim <= PLANE_KALMAN_MAX_H
+    if plane_form:
+        return _plane_smoother(elems, bshape, T, hdim)
     return _dense_smoother(elems, bshape, T, hdim)

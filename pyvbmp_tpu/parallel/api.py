@@ -41,24 +41,31 @@ def replicate(mesh, tree):
     return jax.device_put(tree, sh)
 
 
-def data_parallel_update(model, y, u=None, r=None, mesh=None, iters=1, lr=1.0):
+def data_parallel_update(model, y, u=None, r=None, mesh=None, iters=1, lr=1.0,
+                         batch_axis=None):
     """Run ``model.update`` with the trajectory batch sharded over the mesh.
 
     Works for any model whose update jits over (nodes..., data): LDS, MixLDS,
     DMBD, HMM, GMM.  Parameters stay replicated; XLA reduces the sharded
     sufficient statistics with collectives.
+
+    ``batch_axis`` names the sample/batch axis of ``y`` to split; default is
+    1 (time-major trajectory data ``(T, batch, ...)`` — LDS/DMBD/HMM).  For
+    sample-major data like GMM's ``(n, d)`` pass ``batch_axis=0``.
     """
     if mesh is None:
         mesh = make_mesh()
+    if batch_axis is None:
+        batch_axis = 1
     if hasattr(model, "_update_reshaped") and hasattr(model, "reshape_inputs"):
         y, u, r = model.reshape_inputs(y, u, r)
-        y = shard_batch(mesh, y, 1)
-        u = shard_batch(mesh, u, 1)
-        r = shard_batch(mesh, r, 1)
+        y = shard_batch(mesh, y, batch_axis)
+        u = shard_batch(mesh, u, batch_axis)
+        r = shard_batch(mesh, r, batch_axis)
         # the model's own step dispatcher — the exact code path update() uses,
         # just fed sharded inputs so XLA inserts the collectives
         model._update_reshaped(y, u, r, iters=iters, lr=lr)
         return model
-    y = shard_batch(mesh, y, 1)
+    y = shard_batch(mesh, y, batch_axis)
     model.update(y, iters=iters, lr=lr)
     return model

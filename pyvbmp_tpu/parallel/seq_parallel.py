@@ -55,17 +55,17 @@ def sharded_associative_scan(fn, elems, axis_name, reverse=False):
 
 def _sharded_prefix(fn, elems, axis_name, flip_axis):
     local = jax.lax.associative_scan(fn, elems, axis=0)
+    D = jax.lax.axis_size(axis_name)
+    if D == 1:  # single-device mesh: no cross-chunk prefix, skip the collective
+        return local
     total = _tree_at(local, -1)
     # (D,) + element_shape per leaf
     alls = jax.lax.all_gather(total, axis_name)
     idx = jax.lax.axis_index(axis_name)
-    D = jax.lax.axis_size(axis_name)
     if flip_axis:
         # chunk d holds times [T - (d+1)*C, T - d*C): device order reversed
         idx = D - 1 - idx
         alls = jax.tree.map(lambda a: jnp.flip(a, 0), alls)
-    if D == 1:
-        return local
 
     # external prefix = fold of chunk totals 0..idx-1 (valid only for idx>0)
     ext = _tree_at(alls, 0)
@@ -123,17 +123,50 @@ def shift_down(x, axis_name, first_row):
     return jax.tree.map(one, x, first_row)
 
 
+def _batch_axis_of(mesh, time_axis, batch_axis):
+    """Resolve the optional data-parallel axis of a 2D (seq x data) mesh:
+    "auto" picks the first non-time axis if one exists."""
+    if batch_axis == "auto":
+        others = [a for a in mesh.axis_names if a != time_axis]
+        return others[0] if others else None
+    return batch_axis
+
+
 def time_sharded_forward_backward(trans_logits, init_logits, obs_logits, mesh,
-                                  ptemp=1.0, time_axis="seq"):
+                                  ptemp=1.0, time_axis="seq",
+                                  batch_axis="auto"):
     """forward_backward_parallel with the TIME axis sharded over
     ``mesh[time_axis]`` (sequence parallelism). Same returns:
     (p, SEzz, SEz0, logZ); p comes back sharded over time, the reductions
-    replicated.
+    replicated over time.
 
     trans_logits: (K, K), init_logits: (K,), obs_logits: (T,)+batch+(K,).
     T must divide by the mesh axis size.
+
+    On a 2D (seq x data) mesh, ``batch_axis`` (default "auto": the first
+    non-time axis) additionally shards the batch dim (axis 1 of obs_logits) —
+    combined sequence + data parallelism. The body is batch-elementwise, so
+    no extra collectives are needed; per-sequence reductions stay sharded
+    over data.
     """
     from jax.sharding import PartitionSpec as P
+
+    D = mesh.shape[time_axis]
+    if obs_logits.shape[0] % D != 0:
+        raise ValueError(
+            f"T={obs_logits.shape[0]} must be divisible by the '{time_axis}' "
+            f"mesh axis size {D} for sequence parallelism"
+        )
+    batch_axis = _batch_axis_of(mesh, time_axis, batch_axis)
+    if batch_axis is not None and obs_logits.ndim > 2:
+        Db = mesh.shape[batch_axis]
+        if obs_logits.shape[1] % Db != 0:
+            raise ValueError(
+                f"batch={obs_logits.shape[1]} must be divisible by the "
+                f"'{batch_axis}' mesh axis size {Db}"
+            )
+    elif obs_logits.ndim <= 2:
+        batch_axis = None  # no batch dim to shard
 
     def body(trans, init, obs):
         M = trans + obs[:, ..., None, :]
@@ -172,19 +205,26 @@ def time_sharded_forward_backward(trans_logits, init_logits, obs_logits, mesh,
         p = p / p.sum(-1, keepdims=True)
         return p, SEzz, SEz0, logZ
 
+    if batch_axis is not None:
+        tb = P(time_axis, batch_axis)  # (T, batch, ...) arrays
+        b0 = P(batch_axis)  # per-sequence reductions: batch leading
+    else:
+        tb, b0 = P(time_axis), P()
     shard = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(), P(time_axis)),
-        out_specs=(P(time_axis), P(), P(), P()),
-        # the psum/all_gather outputs ARE replicated; static inference can't
-        # see through the masked-fold/index pattern, so skip the check
+        in_specs=(P(), P(), tb),
+        out_specs=(tb, b0, b0, b0),
+        # the psum/all_gather outputs ARE replicated over time; static
+        # inference can't see through the masked-fold/index pattern, so skip
+        # the check
         check_vma=False,
     )
     return shard(trans_logits, init_logits, obs_logits)
 
 
-def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq"):
+def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq",
+                                 batch_axis="auto"):
     """ops.parallel_kalman.parallel_kalman_smoother with the TIME axis
     sharded over ``mesh[time_axis]`` (sequence parallelism for the
     continuous chain). Same return contract; T must divide the axis size.
@@ -194,6 +234,11 @@ def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq"):
     ``sharded_associative_scan``; the +-1-step tails (backward message
     shift, alpha_{t-1} for cross-covariances) become ppermute halo
     exchanges.
+
+    On a 2D (seq x data) mesh, ``batch_axis`` (default "auto") additionally
+    shards the leading batch dim of the potentials (axis 1 of the (T,)+bshape
+    element arrays) — combined sequence + data parallelism with no extra
+    collectives (the combine is batch-elementwise).
     """
     from jax.sharding import PartitionSpec as P
     from ..ops.parallel_kalman import (
@@ -204,7 +249,23 @@ def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq"):
     )
     from ..utils.linalg import sym_inv, sym_inv_and_logdet, sym_solve_and_logdet, mT
 
+    D = mesh.shape[time_axis]
+    if like[0].shape[0] % D != 0:
+        raise ValueError(
+            f"T={like[0].shape[0]} must be divisible by the '{time_axis}' "
+            f"mesh axis size {D} for sequence parallelism"
+        )
     elems, bshape, T, hdim = _build_elements(parms, x0, like, u)
+    batch_axis = _batch_axis_of(mesh, time_axis, batch_axis)
+    if batch_axis is not None and len(bshape) > 2:
+        Db = mesh.shape[batch_axis]
+        if bshape[0] % Db != 0:
+            raise ValueError(
+                f"batch={bshape[0]} must be divisible by the "
+                f"'{batch_axis}' mesh axis size {Db}"
+            )
+    elif len(bshape) <= 2:
+        batch_axis = None  # (h, h) only: no batch dim to shard
 
     def body(Jaa, Jab, Jbb, ha, hb, logw):
         el = (Jaa, Jab, Jbb, ha, hb, logw)
@@ -251,12 +312,16 @@ def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq"):
         )
         return Sigma, mu, Js, hs, Sigma_cross_all, Sigma_x0_x0, mu_x0, logZ_total
 
-    sh = P(time_axis)
+    if batch_axis is not None:
+        sh = P(time_axis, batch_axis)
+        b0 = P(batch_axis)
+    else:
+        sh, b0 = P(time_axis), P()
     shard = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(sh,) * 6,
-        out_specs=(sh, sh, sh, sh, sh, P(), P(), P()),
+        out_specs=(sh, sh, sh, sh, sh, b0, b0, b0),
         check_vma=False,
     )
     Sigma, mu, Js, hs, Sigma_cross_all, Sigma_x0_x0, mu_x0, logZ_total = shard(*elems)

@@ -137,6 +137,33 @@ class dMixtureofLinearTransforms:
         lse = jax.scipy.special.logsumexp(log_p, -1, keepdims=True)
         return MVN_vf(invSigma=invSigma, invSigmamu=invSigmamu), log_p - lse
 
+    def backward_mix(self, pY):
+        """Per-expert backward messages WITHOUT collapsing the mixture
+        (reference dMixtureofLinearTransforms.py:151-161).  The reference
+        body is broken — it reads ``p`` before assigning it (``p = p.exp()``
+        → NameError) and swaps pi.backward's argument order vs backward();
+        this implements the documented intent: the same gate-informed
+        per-component messages as ``backward``, returned un-collapsed along
+        with the responsibilities and the total residual.
+
+        Returns (pX_mix, p, Res): pX_mix has the mixture on axis -3 of its
+        parameters, p sums to 1 over the last axis, and
+        Res = logsumexp(log_p) - pX_mix.Res() (per component, as in the
+        reference's final line)."""
+        pXm, ResA = self.A.backward(pY.unsqueeze(-3))
+        Z = jnp.eye(self.mix_dim)
+        for _ in range(self.batch_dim):
+            Z = Z[..., None, :]
+        pXm, Res = self.pi.backward(Z, like_X=pXm)
+        log_p = Res + ResA
+        shift = jax.lax.stop_gradient(log_p.max(-1, keepdims=True))
+        log_p = log_p - shift
+        Res_total = shift[..., 0] + jax.scipy.special.logsumexp(log_p, -1)
+        p = jnp.exp(log_p)
+        p = p / p.sum(-1, keepdims=True)
+        Res_out = Res_total[..., None] - pXm.Res()
+        return pXm, p, Res_out
+
     def postdict(self, Y):
         """Invert the gate via MNLR.Elog_like_X (reference dMixLT.postdict:58-84)."""
         invSigma, invSigmamu, Res = self.A.Elog_like_X(Y[..., None, :][..., None])

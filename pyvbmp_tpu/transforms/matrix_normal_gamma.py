@@ -43,6 +43,12 @@ class MatrixNormalGamma(MatrixNormalWishart):
         key=None,
         _unit_trace=False,
     ):
+        from ..utils.rng import key_or_next
+        import jax.random as jr
+
+        key = key_or_next(key)  # resolve ONCE so an explicit key fully
+        # determines the build (a keyless DiagonalWishart.create would draw
+        # from the global sequence and break same-key reproducibility)
         base = MatrixNormalWishart.create(
             event_shape,
             batch_shape,
@@ -57,7 +63,8 @@ class MatrixNormalGamma(MatrixNormalWishart):
         n = base.event_shape[-2]
         dw_cls = DiagonalWishartUnitTrace if _unit_trace else DiagonalWishart
         invU = dw_cls.create(
-            base.event_shape[:-1], batch_shape, scale=scale
+            base.event_shape[:-1], batch_shape, scale=scale,
+            key=jr.fold_in(key, 17),
         )
         kw = {f.name: getattr(base, f.name) for f in dataclasses.fields(base)}
         kw["invU"] = invU

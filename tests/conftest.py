@@ -17,6 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
 # tests/test_parallel_scan.py.
 os.environ.setdefault("PYVBMP_LANE_KALMAN_MAX_H", "0")
 os.environ.setdefault("PYVBMP_LANE_HMM_MAX_K", "0")
+# plane layout likewise defaults off in tests (dense is the reference path);
+# tests/test_parallel_scan.py forces plane_form=True explicitly
+os.environ.setdefault("PYVBMP_PLANE_KALMAN_MAX_H", "0")
+os.environ.setdefault("PYVBMP_PLANE_HMM_MAX_K", "0")
 
 import jax  # noqa: E402
 

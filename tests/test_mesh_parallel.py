@@ -68,6 +68,59 @@ def test_shard_batch_places_on_axis():
     assert shard_shapes == {(4, 2, 3)}
 
 
+def test_sharded_hmm_matches_single_device():
+    """The data_parallel_update fallback branch (no reshape_inputs): HMM with
+    (T, batch, d) data sharded on the batch axis."""
+    from pyvbmp_tpu.dists import NormalInverseWishart
+    from pyvbmp_tpu.models import HMM
+
+    rs = np.random.RandomState(4)
+    X = jnp.asarray(rs.randn(30, 16, 3), jnp.float32)
+
+    rng.seed(11)
+    a = HMM(NormalInverseWishart.create((3,), batch_shape=(4,)))
+    a.update(X, iters=3)
+
+    rng.seed(11)
+    b = HMM(NormalInverseWishart.create((3,), batch_shape=(4,)))
+    data_parallel_update(b, X, mesh=make_mesh(), iters=3)
+
+    np.testing.assert_allclose(
+        np.asarray(a.ELBO_save), np.asarray(b.ELBO_save), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.transition.alpha), np.asarray(b.transition.alpha), rtol=2e-4
+    )
+
+
+def test_sharded_gmm_matches_single_device():
+    """Fallback branch with sample-major data: GMM (n, d) sharded on axis 0."""
+    from pyvbmp_tpu.models import GaussianMixtureModel
+
+    rs = np.random.RandomState(5)
+    X = jnp.asarray(
+        np.concatenate(
+            [rs.randn(80, 2) + c for c in ([-3, 0], [3, 0], [0, 3])], 0
+        ),
+        jnp.float32,
+    )
+
+    rng.seed(13)
+    a = GaussianMixtureModel(3, 2)
+    a.update(X, iters=4)
+
+    rng.seed(13)
+    b = GaussianMixtureModel(3, 2)
+    data_parallel_update(b, X, mesh=make_mesh(), iters=4, batch_axis=0)
+
+    np.testing.assert_allclose(
+        np.asarray(a.ELBO_save), np.asarray(b.ELBO_save), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.dist.mu), np.asarray(b.dist.mu), atol=2e-4
+    )
+
+
 def test_sharded_mixlds_matches_single_device():
     from pyvbmp_tpu.models import MixtureofLinearDynamicalSystems
 

@@ -233,3 +233,85 @@ def test_driven_hmm_lane_form_equals_dense():
     )
     for x, z in zip(run(False), run(True)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(z), atol=3e-5)
+
+
+# --------------------------------------------------------------- plane layout
+# The stacked-plane layout (ops/planemat.py) is the h/K > 8 fast path the
+# Flocking north star needs (h = K = 14); O(1) HLO ops per matmul means it
+# compiles quickly even at h=14, so the production config is checked here.
+
+@pytest.mark.parametrize("h", [2, 5, 14])
+def test_kalman_plane_form_equals_dense(h):
+    from pyvbmp_tpu.ops.parallel_kalman import parallel_kalman_smoother
+
+    rng.seed(0)
+    lds = LinearDynamicalSystems((3,), h, 0, 0, parallel_scan=True)
+    y = jax.random.normal(jax.random.key(2), (20, 5, 3))
+    yv, uv, rv = lds.reshape_inputs(y)
+    parms = lds._latent_parms(lds.A)
+    like = lds.log_likelihood_function(lds.obs_model, yv, rv)
+    run = jax.jit(
+        lambda plane: parallel_kalman_smoother(
+            parms, lds.x0, like, uv, lane_form=False, plane_form=plane
+        ),
+        static_argnums=0,
+    )
+    a = run(False)
+    b = run(True)
+    for x, z in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        denom = float(jnp.abs(x).max()) + 1e-30
+        assert float(jnp.abs(x - z).max()) / denom < 2e-5, h
+
+
+def test_hmm_plane_form_equals_dense_k14():
+    rs = np.random.RandomState(10)
+    T, B, K = 24, 5, 14
+    trans = jnp.asarray(np.log(rs.dirichlet(np.ones(K), K)), jnp.float32)
+    init = jnp.asarray(np.log(rs.dirichlet(np.ones(K))), jnp.float32)
+    obs = jnp.asarray(rs.randn(T, B, K), jnp.float32)
+    run = jax.jit(
+        lambda plane: forward_backward_parallel(
+            trans, init, obs, lane_form=False, plane_form=plane
+        ),
+        static_argnums=0,
+    )
+    for x, z in zip(run(False), run(True)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(z), atol=3e-5)
+
+
+def test_hmm_plane_form_equals_dense_masked():
+    """-inf transition entries (role masks) through the plane LSE guard."""
+    rs = np.random.RandomState(11)
+    T, B, K = 16, 3, 6
+    tr = rs.dirichlet(np.ones(K), K)
+    tr[0, 2] = 0.0
+    tr = tr / tr.sum(-1, keepdims=True)
+    trans = jnp.asarray(np.log(tr), jnp.float32)
+    init = jnp.asarray(np.log(rs.dirichlet(np.ones(K))), jnp.float32)
+    obs = jnp.asarray(rs.randn(T, B, K), jnp.float32)
+    run = jax.jit(
+        lambda plane: forward_backward_parallel(
+            trans, init, obs, lane_form=False, plane_form=plane
+        ),
+        static_argnums=0,
+    )
+    for x, z in zip(run(False), run(True)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(z), atol=3e-5)
+
+
+def test_driven_hmm_plane_form_equals_dense():
+    from pyvbmp_tpu.ops.parallel_hmm import driven_forward_backward_parallel
+
+    rs = np.random.RandomState(12)
+    T, B, K = 14, 3, 5
+    trans = jnp.asarray(np.log(rs.dirichlet(np.ones(K), (T, B, K))), jnp.float32)
+    init = jnp.asarray(np.log(rs.dirichlet(np.ones(K))), jnp.float32)
+    obs = jnp.asarray(rs.randn(T, B, K), jnp.float32)
+    run = jax.jit(
+        lambda plane: driven_forward_backward_parallel(
+            trans, init, obs, lane_form=False, plane_form=plane
+        ),
+        static_argnums=0,
+    )
+    for x, z in zip(run(False), run(True)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(z), atol=3e-5)

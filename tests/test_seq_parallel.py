@@ -83,6 +83,99 @@ def test_time_sharded_kalman_matches_single_device():
         assert float(jnp.abs(np.asarray(x) - np.asarray(z)).max()) / denom < 2e-5
 
 
+def test_hmm_fit_with_time_mesh_matches_single_device():
+    """Model-level SP: HMM(time_mesh=...) fits identically to the plain
+    lax.scan smoother (the smoothers are exact, so any path must agree)."""
+    from pyvbmp_tpu.dists import NormalInverseWishart
+    from pyvbmp_tpu.models import HMM
+    from pyvbmp_tpu.utils import rng
+
+    rs = np.random.RandomState(8)
+    X = jnp.asarray(rs.randn(32, 6, 3), jnp.float32)
+
+    rng.seed(21)
+    a = HMM(NormalInverseWishart.create((3,), batch_shape=(4,)))
+    a.update(X, iters=3)
+
+    rng.seed(21)
+    b = HMM(NormalInverseWishart.create((3,), batch_shape=(4,)),
+            time_mesh=_mesh())
+    b.update(X, iters=3)
+
+    np.testing.assert_allclose(
+        np.asarray(a.ELBO_save), np.asarray(b.ELBO_save), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.transition.alpha), np.asarray(b.transition.alpha),
+        rtol=2e-4,
+    )
+
+
+def test_mixlds_fit_with_time_mesh_matches_parallel_scan():
+    """Model-level SP for the MixLDS north star: time_mesh == parallel_scan
+    (both use the corrected cross-covariance math)."""
+    from pyvbmp_tpu.models import MixtureofLinearDynamicalSystems
+    from pyvbmp_tpu.utils import rng
+
+    rs = np.random.RandomState(9)
+    y = jnp.asarray(rs.randn(24, 8, 3), jnp.float32)
+
+    rng.seed(23)
+    a = MixtureofLinearDynamicalSystems(2, (3,), 2, 0, 0, parallel_scan=True)
+    a.update(y, iters=2)
+
+    rng.seed(23)
+    b = MixtureofLinearDynamicalSystems(2, (3,), 2, 0, 0, time_mesh=_mesh())
+    b.update(y, iters=2)
+
+    np.testing.assert_allclose(
+        np.asarray(a.ELBO_save), np.asarray(b.ELBO_save), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.lds.A.mu), np.asarray(b.lds.A.mu), atol=2e-4
+    )
+
+
+def test_dmbd_fit_with_time_mesh_matches_parallel_scan():
+    """Model-level SP for the flagship: DMBD(time_mesh=...) shards BOTH the
+    role HMM scan and the Kalman smoother over time and must fit identically
+    to the resident-time parallel_scan path."""
+    from pyvbmp_tpu.models import DynamicMarkovBlanketDiscovery
+    from pyvbmp_tpu.utils import rng
+
+    rs = np.random.RandomState(10)
+    y = jnp.asarray(rs.randn(16, 4, 4, 2), jnp.float32)
+
+    rng.seed(29)
+    a = DynamicMarkovBlanketDiscovery(
+        obs_shape=(4, 2), role_dims=(1, 1, 1), hidden_dims=(2, 1, 1),
+        parallel_scan=True,
+    )
+    a.update(y, iters=2)
+
+    rng.seed(29)
+    b = DynamicMarkovBlanketDiscovery(
+        obs_shape=(4, 2), role_dims=(1, 1, 1), hidden_dims=(2, 1, 1),
+        time_mesh=_mesh(),
+    )
+    b.update(y, iters=2)
+
+    np.testing.assert_allclose(
+        np.asarray(a.ELBO_save), np.asarray(b.ELBO_save), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.A.mu), np.asarray(b.A.mu), atol=2e-4
+    )
+
+
+def test_time_sharded_rejects_nondivisible_T():
+    import pytest
+
+    trans, init, obs = _problem(T=30)
+    with pytest.raises(ValueError, match="divisible"):
+        time_sharded_forward_backward(trans, init, obs, _mesh())
+
+
 def test_lds_fit_with_time_mesh_matches_parallel_scan():
     """End-to-end: LinearDynamicalSystems(time_mesh=...) fits identically to
     the resident-time associative-scan path."""

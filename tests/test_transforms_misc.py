@@ -158,6 +158,36 @@ def test_dmix_update_with_messages():
     assert np.isfinite(e).all()
 
 
+def test_dmix_backward_mix_consistent_with_backward():
+    """backward_mix (reference dMixLT.py:151-161, broken upstream — NameError
+    on p) must agree with backward() when its per-component messages are
+    collapsed with its responsibilities."""
+    X, Y = _piecewise_linear(3)
+    m = dMixtureofLinearTransforms(1, 1, 2)
+    m.raw_update(X, Y, iters=5)
+    pY = MVN_vf(
+        mu=Y[:10, :, None], Sigma=0.1 * jnp.broadcast_to(jnp.eye(1), (10, 1, 1))
+    )
+    pXm, p, Res = m.backward_mix(pY)
+    pX_ref, logp_ref = m.backward(pY)
+    np.testing.assert_allclose(
+        np.asarray(p), np.exp(np.asarray(logp_ref)), rtol=1e-5, atol=1e-6
+    )
+    pv = p[..., None, None]
+    np.testing.assert_allclose(
+        np.asarray((pXm.EinvSigma() * pv).sum(-3)),
+        np.asarray(pX_ref.EinvSigma()),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray((pXm.EinvSigmamu() * pv).sum(-3)),
+        np.asarray(pX_ref.EinvSigmamu()),
+        rtol=1e-5, atol=1e-6,
+    )
+    assert np.isfinite(np.asarray(Res)).all()
+    assert Res.shape == p.shape
+
+
 def test_reduced_rank_regression():
     rs = np.random.RandomState(3)
     ns, n, p, d = 400, 6, 5, 2

@@ -164,6 +164,100 @@ def test_dmbd_plot_observation_and_transition(tmp_path):
         assert p.exists() and p.stat().st_size > 1000, p
 
 
+# ------------------------------------------------------------------ dMixture
+def test_dmixture_directed_mixture_recovery():
+    """dMixture (reference transforms/dMixture.py, self-flagged 'Untested'):
+    MNLR gate p(z|x) + arbitrary batched dist over y.  A 3-component task
+    where the component is determined by x-region must be recovered: ELBO
+    non-decreasing, assignments match the generator up to permutation."""
+    from pyvbmp_tpu.dists import NormalInverseWishart
+    from pyvbmp_tpu.transforms.dmixture import dMixture
+    from pyvbmp_tpu.utils.jaxutils import replace
+
+    rng.seed(0)
+    rs = np.random.RandomState(0)
+    n, K, d = 600, 3, 2
+    z = rs.randint(0, K, n)
+    centers_x = np.asarray([[-4.0, 0.0], [4.0, 0.0], [0.0, 4.0]])
+    mus_y = np.asarray([[-3.0, -3.0], [3.0, 3.0], [3.0, -3.0]])
+    X = jnp.asarray((centers_x[z] + 0.5 * rs.randn(n, 2)).astype(np.float32))
+    Y = jnp.asarray((mus_y[z] + 0.3 * rs.randn(n, d)).astype(np.float32))
+
+    dist = NormalInverseWishart.create(event_shape=(d,), batch_shape=(K,))
+    # seed means with data points (the GMM initialize() trick)
+    dist = replace(dist, mu=Y[jnp.asarray([0, 1, 2])])
+    m = dMixture(dist, p=2)
+    m.raw_update(X, Y, iters=15, lr=1.0)
+
+    e = np.asarray(m.ELBO_save, dtype=np.float64)
+    rel = np.diff(e) / np.abs(e[:-1])
+    assert (rel[2:] > -1e-5).all(), e
+
+    # assignment accuracy up to label permutation
+    pred = np.asarray(m.assignment())
+    acc = 0.0
+    for k in range(K):
+        lab = np.bincount(pred[z == k], minlength=K).argmax()
+        acc += (pred[z == k] == lab).sum()
+    assert acc / n > 0.9, acc / n
+
+    # the gate must actually be input-dependent: predictions at the three
+    # x-centers pick three distinct components
+    gate = np.asarray(m.pi.predict(jnp.asarray(centers_x, jnp.float32)))
+    assert len(set(gate.argmax(-1))) == K, gate
+
+    # Elog_like / event_average surfaces run and are finite
+    assert np.isfinite(np.asarray(m.Elog_like(X, Y))).all()
+    assert np.isfinite(np.asarray(m.means())).all()
+
+
+# ------------------------------------------- LDS p-weighted update threading
+def test_lds_update_p_threading():
+    """update(y, p=...) must thread p into the M-step exactly like the
+    reference's p-weighted ss_update (LinearDynamicalSystems.py:86-104).
+    Oracle: the reference-API path (update_latents + ss_update(p) +
+    obs_model.ss_update) that MixLDS already exercises and that hit 1.8e-15
+    parity."""
+    from pyvbmp_tpu.models import LinearDynamicalSystems
+
+    rng.seed(0)
+    rs = np.random.RandomState(3)
+    T, b, obs, h = 16, 5, 3, 2
+    y = jnp.asarray(rs.randn(T, b, obs).astype(np.float32))
+    p = jnp.asarray(rs.rand(b).astype(np.float32))
+
+    key = jax.random.key(7)
+    m1 = LinearDynamicalSystems((obs,), h, key=key)
+    m2 = LinearDynamicalSystems((obs,), h, key=key)
+
+    # threaded path
+    m1.update(y, p=p, iters=1)
+
+    # manual reference-API path
+    y2, u2, r2 = m2.reshape_inputs(y)
+    m2.update_latents(y2, u2, r2)
+    m2.ss_update(p=p)
+    m2.obs_model = m2.obs_model.ss_update(
+        m2._ss["SE_xr_xr"], m2._ss["SE_y_xr"], m2._ss["SE_y_y"], m2._ss["T"], 1.0
+    )
+
+    for a, c in [(m1.x0, m2.x0), (m1.A, m2.A), (m1.obs_model, m2.obs_model)]:
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(c)):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), rtol=2e-5, atol=1e-6
+            )
+
+    # and a p of ones must match the unweighted update
+    m3 = LinearDynamicalSystems((obs,), h, key=key)
+    m4 = LinearDynamicalSystems((obs,), h, key=key)
+    m3.update(y, p=jnp.ones((b,), jnp.float32), iters=2)
+    m4.update(y, iters=2)
+    for la, lb in zip(jax.tree.leaves(m3.A), jax.tree.leaves(m4.A)):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=2e-5, atol=1e-6
+        )
+
+
 # -------------------------------------------- smallmat Schur recursion (h>=4)
 @pytest.mark.parametrize("h", [4, 5, 6, 8])
 def test_smallmat_sym_inv_logdet_schur_branch(h):
