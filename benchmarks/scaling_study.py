@@ -1,0 +1,284 @@
+"""Absolute-performance scaling / utilization study (single TPU chip).
+
+Sweeps batch size and model dims for GMM / HMM / LDS / MixLDS / DMBD and
+records, per config:
+  - warm VB-EM iterations/sec (fused multi-iteration dispatch, best of 2)
+  - FLOPs and HBM bytes per iteration from XLA's cost analysis of the exact
+    compiled executable
+  - achieved GFLOP/s and GB/s, and the fraction of the chip's peaks
+    (v5e: ~197 TFLOP/s bf16 MXU, ~819 GB/s HBM)
+
+This answers "where does throughput saturate and which roofline binds" —
+every number in PARITY.md's speedup table is relative to torch-CPU at
+reference-scale shapes; this study is the absolute story (VERDICT r2 item 3).
+
+Run: python benchmarks/scaling_study.py [out.json]   (takes ~30-40 min:
+one compile per config through the axon tunnel, amortized by the persistent
+compilation cache)
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+PEAK_FLOPS = 197e12  # v5e bf16 MXU peak
+PEAK_BYTES = 819e9  # v5e HBM bandwidth
+
+
+def _sync(x):
+    # axon gotcha: block_until_ready does not reliably block; force host fetch
+    return float(np.asarray(x).sum())
+
+
+def _cost(jitfn, args, static=None):
+    """FLOPs + bytes of the compiled executable (per call)."""
+    try:
+        lowered = jitfn.lower(*args) if static is None else jitfn.lower(*args, **static)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", float("nan"))), float(
+            ca.get("bytes accessed", float("nan"))
+        )
+    except Exception as e:  # cost analysis is best-effort on experimental backends
+        print(f"  cost_analysis failed: {e!r}", file=sys.stderr)
+        return float("nan"), float("nan")
+
+
+def _time_fit(fit, iters, reps=3):
+    best = float("inf")
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        fit()
+        dt = time.perf_counter() - t0
+        if rep > 0:  # rep 0 pays the compile
+            best = min(best, dt)
+    return iters / best
+
+
+# ---------------------------------------------------------------- generators
+def gmm_data(n, d, K, seed=0):
+    rs = np.random.RandomState(seed)
+    mus = rs.randn(K, d) * 4
+    z = rs.randint(0, K, n)
+    return (mus[z] + rs.randn(n, d)).astype(np.float32)
+
+
+def hmm_data(T, b, K, d, seed=0):
+    rs = np.random.RandomState(seed)
+    mus = rs.randn(K, d) * 3
+    z = np.zeros((T, b), np.int64)
+    for t in range(1, T):
+        stay = rs.rand(b) < 0.9
+        z[t] = np.where(stay, z[t - 1], rs.randint(0, K, b))
+    return (mus[z] + rs.randn(T, b, d)).astype(np.float32)
+
+
+def lds_data(T, b, o, h, seed=0):
+    rs = np.random.RandomState(seed)
+    th = 0.2
+    A = np.eye(h) * 0.95
+    A[:2, :2] = np.asarray(
+        [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+    ) * 0.98
+    C = rs.randn(o, h)
+    x = rs.randn(b, h)
+    ys = []
+    for _ in range(T):
+        x = x @ A.T + 0.05 * rs.randn(b, h)
+        ys.append(x @ C.T + 0.1 * rs.randn(b, o))
+    return np.stack(ys).astype(np.float32)
+
+
+# ------------------------------------------------------------------- runners
+def run_gmm(cfg, iters):
+    import jax.numpy as jnp
+    from pyvbmp_tpu.models import GaussianMixtureModel
+    from pyvbmp_tpu.dists.mixture import _mixture_multi_jit
+    from pyvbmp_tpu.utils import rng
+
+    rng.seed(0)
+    y = jnp.asarray(gmm_data(cfg["n"], cfg["d"], cfg["K"]))
+    m = GaussianMixtureModel(cfg["K"], cfg["d"])
+    ips = _time_fit(lambda: (m.update(y, iters=iters), _sync(m.logZ)), iters)
+    fn = _mixture_multi_jit(type(m.dist), m.event_dim, m.batch_dim)
+    fl, by = _cost(fn, (m.pi, m.dist, m._reshape_data(y), 1.0, iters))
+    return ips, fl / iters, by / iters
+
+
+def run_hmm(cfg, iters):
+    import jax
+    import jax.numpy as jnp
+    from pyvbmp_tpu.dists import NormalInverseWishart
+    from pyvbmp_tpu.models import HMM
+    from pyvbmp_tpu.utils import rng
+
+    rng.seed(0)
+    y = jnp.asarray(hmm_data(cfg["T"], cfg["b"], cfg["K"], cfg["d"]))
+    m = HMM(NormalInverseWishart.create((cfg["d"],), batch_shape=(cfg["K"],)))
+    ips = _time_fit(lambda: (m.update(y, iters=iters), _sync(m.logZ)), iters)
+    fn = jax.jit(m._vb_multi, static_argnames=("beta", "iters"))
+    fl, by = _cost(
+        fn,
+        (m.transition, m.initial, m.obs_dist, y, 1.0),
+        {"beta": None, "iters": iters},
+    )
+    return ips, fl / iters, by / iters
+
+
+def run_lds(cfg, iters):
+    import jax
+    import jax.numpy as jnp
+    from pyvbmp_tpu.models import LinearDynamicalSystems
+    from pyvbmp_tpu.utils import rng
+
+    rng.seed(0)
+    y = jnp.asarray(lds_data(cfg["T"], cfg["b"], cfg["o"], cfg["h"]))
+    m = LinearDynamicalSystems((cfg["o"],), cfg["h"], parallel_scan=True)
+    ips = _time_fit(lambda: (m.update(y, iters=iters), _sync(m.logZ)), iters)
+    yv, uv, rv = m.reshape_inputs(y)
+    fn = jax.jit(m._vb_multi, static_argnames=("iters",))
+    fl, by = _cost(
+        fn, (m.x0, m.A, m.obs_model, yv, uv, rv, 1.0), {"iters": iters}
+    )
+    return ips, fl / iters, by / iters
+
+
+def run_mixlds(cfg, iters):
+    import jax
+    import jax.numpy as jnp
+    from pyvbmp_tpu.models import MixtureofLinearDynamicalSystems
+    from pyvbmp_tpu.utils import rng
+
+    rng.seed(0)
+    per = cfg["b"] // cfg["K"]
+    ys = [lds_data(cfg["T"], per, cfg["o"], cfg["h"], seed=k) for k in range(cfg["K"])]
+    y = jnp.asarray(np.concatenate(ys, 1))
+    m = MixtureofLinearDynamicalSystems(
+        cfg["K"], (cfg["o"],), cfg["h"], 0, 0, parallel_scan=True
+    )
+    ips = _time_fit(
+        lambda: (m.update(y, iters=iters), _sync(m.logZ)), iters
+    )
+    yv, uv, rv = m.lds.reshape_inputs(y)
+    fn = jax.jit(m._vb_multi, static_argnames=("iters",))
+    fl, by = _cost(
+        fn,
+        (m.lds.x0, m.lds.A, m.lds.obs_model, m.pi, yv, uv, rv, 1.0),
+        {"iters": iters},
+    )
+    return ips, fl / iters, by / iters
+
+
+def run_dmbd(cfg, iters):
+    import jax
+    import jax.numpy as jnp
+    from pyvbmp_tpu.models import DynamicMarkovBlanketDiscovery
+    from pyvbmp_tpu.simulations import Lorenz
+    from pyvbmp_tpu.utils import rng
+
+    rng.seed(0)
+    sim = Lorenz()
+    sim.num_steps = cfg["T"] * 5 + 6
+    data = np.asarray(sim.simulate(cfg["b"], key=jax.random.key(0))[: cfg["T"]],
+                      np.float32)
+    y = jnp.asarray(data)
+    m = DynamicMarkovBlanketDiscovery(
+        obs_shape=(3, 2), role_dims=(1, 2, 1), hidden_dims=(2, 2, 2),
+        parallel_scan=True,
+    )
+    ips = _time_fit(lambda: (m.update(y, iters=iters), _sync(m.logZ)), iters)
+    yv, uv, rv = m.reshape_inputs(y)
+    px0 = m._init_px(rv)
+    fn = jax.jit(m._dmbd_multi, static_argnames=("latent_iters", "iters"))
+    p0 = jnp.ones(yv.shape[:-2] + (m.role_dim,), yv.dtype) / m.role_dim
+    fl, by = _cost(
+        fn,
+        (
+            m.x0, m.A, m.obs_model.transition, m.obs_model.initial,
+            m.obs_model.obs_dist,
+            (px0.mu, px0.Sigma, px0.invSigmamu, px0.invSigma),
+            p0, yv, uv, rv, 1.0,
+        ),
+        {"latent_iters": 1, "iters": iters},
+    )
+    return ips, fl / iters, by / iters
+
+
+SWEEP = [
+    ("gmm", dict(n=1_000, d=8, K=16)),
+    ("gmm", dict(n=10_000, d=8, K=16)),
+    ("gmm", dict(n=100_000, d=8, K=16)),
+    ("gmm", dict(n=400_000, d=8, K=16)),
+    ("gmm", dict(n=100_000, d=32, K=16)),
+    ("hmm", dict(T=200, b=20, K=8, d=4)),
+    ("hmm", dict(T=200, b=200, K=8, d=4)),
+    ("hmm", dict(T=200, b=2000, K=8, d=4)),
+    ("hmm", dict(T=200, b=200, K=32, d=4)),
+    ("lds", dict(T=200, b=10, o=4, h=2)),
+    ("lds", dict(T=200, b=100, o=4, h=2)),
+    ("lds", dict(T=200, b=1000, o=4, h=2)),
+    ("lds", dict(T=200, b=100, o=8, h=8)),
+    ("lds", dict(T=200, b=100, o=16, h=16)),
+    ("mixlds", dict(T=100, b=200, K=4, o=3, h=2)),
+    ("mixlds", dict(T=100, b=1000, K=4, o=3, h=2)),
+    ("mixlds", dict(T=100, b=4000, K=4, o=3, h=2)),
+    ("dmbd", dict(T=399, b=20)),
+    ("dmbd", dict(T=399, b=100)),
+    ("dmbd", dict(T=399, b=400)),
+]
+
+RUNNERS = dict(gmm=run_gmm, hmm=run_hmm, lds=run_lds, mixlds=run_mixlds,
+               dmbd=run_dmbd)
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scaling_study.json"
+    )
+    results = []
+    for fam, cfg in SWEEP:
+        iters = 30 if fam in ("gmm", "hmm", "lds") else 25
+        t0 = time.perf_counter()
+        try:
+            ips, fl, by = RUNNERS[fam](cfg, iters)
+        except Exception as e:
+            print(f"{fam} {cfg} FAILED: {e!r}", file=sys.stderr)
+            continue
+        rec = dict(
+            family=fam,
+            config=cfg,
+            iters_per_sec=round(ips, 2),
+            flops_per_iter=fl,
+            bytes_per_iter=by,
+            gflops_per_sec=round(ips * fl / 1e9, 2) if fl == fl else None,
+            gbytes_per_sec=round(ips * by / 1e9, 2) if by == by else None,
+            pct_peak_flops=round(100 * ips * fl / PEAK_FLOPS, 4) if fl == fl else None,
+            pct_peak_bw=round(100 * ips * by / PEAK_BYTES, 2) if by == by else None,
+            wall_s=round(time.perf_counter() - t0, 1),
+        )
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    with open(out_path, "w") as f:
+        json.dump(
+            dict(peak_flops=PEAK_FLOPS, peak_bytes_per_sec=PEAK_BYTES,
+                 hardware="1x TPU v5e chip (axon tunnel)", results=results),
+            f, indent=1,
+        )
+    print(f"wrote {out_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

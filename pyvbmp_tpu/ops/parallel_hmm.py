@@ -23,11 +23,12 @@ import jax.numpy as jnp
 
 from ..utils import math as um
 
-LANE_HMM_MAX_K = int(os.environ.get("PYVBMP_LANE_HMM_MAX_K", "8"))
-# plane form (see ops/planemat.py): stacked (T, K, K, N) layout with the
-# batch on the lanes and O(1) HLO ops per semiring matmul — the
-# K > LANE_HMM_MAX_K escape hatch (Flocking roles: K = 14). Above this,
-# fall back to dense.
+# Layout dispatch, measured on the v5e chip (round 3, PARITY.md): the plane
+# form (stacked (T, K, K, N) layout, O(1) HLO ops per semiring matmul) beats
+# the per-entry lane dict even at K=4 (DMBD-Lorenz role scan: 192 vs 157
+# it/s end-to-end) and is the only fast path at K=14 (Flocking roles), so
+# lane defaults OFF; dense above 32.
+LANE_HMM_MAX_K = int(os.environ.get("PYVBMP_LANE_HMM_MAX_K", "0"))
 PLANE_HMM_MAX_K = int(os.environ.get("PYVBMP_PLANE_HMM_MAX_K", "32"))
 
 

@@ -42,13 +42,14 @@ from ..utils.linalg import (
 )
 from . import smallmat as sm
 
-# lane form wins whenever the per-combine straight-line code stays small;
-# above this the metaprogrammed Schur recursion bloats the HLO graph and
-# compile time with little runtime payoff.
-LANE_KALMAN_MAX_H = int(os.environ.get("PYVBMP_LANE_KALMAN_MAX_H", "8"))
-# plane form (ops/planemat.py) keeps the lane-resident batch layout with an
-# O(1)-HLO-ops-per-matmul formulation: the h > 8 escape hatch that the
-# Flocking north star (h = 14) needs. Above this, fall back to dense.
+# Layout dispatch, measured on the v5e chip (round 3, PARITY.md):
+#   h <= 3: lane form (closed-form adjugates; tied or ahead of plane at h=2
+#           on the MixLDS north star: 303-350 lane vs 303 plane it/s)
+#   3 < h <= 32: plane form (ops/planemat.py) — beats lane 157 vs 125 it/s
+#           at h=6 (DMBD-Lorenz Kalman leg) and 236-260 vs 166 at h=8, and
+#           is the only fast path at h=14 (Flocking: 85 vs 15.6 dense)
+#   h > 32: dense fallback
+LANE_KALMAN_MAX_H = int(os.environ.get("PYVBMP_LANE_KALMAN_MAX_H", "3"))
 PLANE_KALMAN_MAX_H = int(os.environ.get("PYVBMP_PLANE_KALMAN_MAX_H", "32"))
 
 
