@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import os
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -198,21 +200,50 @@ def forward_backward_parallel(trans_logits, init_logits, obs_logits, ptemp=1.0,
     trans_logits: batch + (K, K)
     init_logits:  batch + (K,)
     obs_logits:   (T,) + sample + batch + (K,)
+
+    Called eagerly (outside any jit trace) this dispatches through a
+    memoized jitted program — op-by-op eager dispatch of the scan levels is
+    orders of magnitude slower; inside a trace it inlines as before.
     """
-    T = obs_logits.shape[0]
     K = trans_logits.shape[-1]
+    if lane_form is None:
+        lane_form = K <= LANE_HMM_MAX_K and plane_form is not True
+    if not lane_form and plane_form is None:
+        plane_form = K <= PLANE_HMM_MAX_K
+    lane_form, plane_form = bool(lane_form), bool(plane_form)
+    args = (trans_logits, init_logits, obs_logits)
+    if not (
+        isinstance(ptemp, jax.core.Tracer)
+        or any(
+            isinstance(l, jax.core.Tracer)
+            for t in args
+            for l in jax.tree_util.tree_leaves(t)
+        )
+    ):
+        return _jit_fb(float(ptemp), lane_form, plane_form)(*args)
+    return _fb_impl(*args, ptemp, lane_form, plane_form)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_fb(ptemp, lane_form, plane_form):
+    return jax.jit(
+        functools.partial(
+            _fb_impl, ptemp=ptemp, lane_form=lane_form, plane_form=plane_form
+        )
+    )
+
+
+def _fb_impl(trans_logits, init_logits, obs_logits, ptemp, lane_form,
+             plane_form):
+    T = obs_logits.shape[0]
 
     # per-step semiring elements M_t[i, j] = trans[i, j] + obs_t[j]
     M = trans_logits + obs_logits[:, ..., None, :]
     bshape = M.shape[1:-2]
 
-    if lane_form is None:
-        lane_form = K <= LANE_HMM_MAX_K and plane_form is not True
     if lane_form:
         p, xi, SEz0, logZ = _hmm_lane_core(M, init_logits, ptemp)
         return p, xi.sum(0), SEz0, logZ
-    if plane_form is None:
-        plane_form = K <= PLANE_HMM_MAX_K
     if plane_form:
         p, xi, SEz0, logZ = _hmm_plane_core(M, init_logits, ptemp)
         return p, xi.sum(0), SEz0, logZ

@@ -28,6 +28,7 @@ Two data layouts:
 """
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -508,14 +509,39 @@ def parallel_kalman_smoother(parms, x0, like, u, lane_form=None, plane_form=None
     lane_form: force the component-layout path on/off (default: h-based).
     plane_form: force the stacked-plane layout on/off (default: h-based —
         picked for LANE_KALMAN_MAX_H < h <= PLANE_KALMAN_MAX_H).
+
+    Called eagerly (outside any jit trace) this dispatches through a
+    memoized jitted program — op-by-op eager dispatch of the scan levels is
+    orders of magnitude slower; inside a trace it inlines as before.
     """
-    elems, bshape, T, hdim = _build_elements(parms, x0, like, u)
+    hdim = parms["invQ"].shape[-1]
     if lane_form is None:
         lane_form = hdim <= LANE_KALMAN_MAX_H and plane_form is not True
+    if not lane_form and plane_form is None:
+        plane_form = hdim <= PLANE_KALMAN_MAX_H
+    lane_form, plane_form = bool(lane_form), bool(plane_form)
+    if not any(
+        isinstance(l, jax.core.Tracer)
+        for t in (parms, x0, like, u)
+        for l in jax.tree_util.tree_leaves(t)
+    ):
+        return _jit_smoother(lane_form, plane_form)(parms, x0, like, u)
+    return _smoother_impl(parms, x0, like, u, lane_form, plane_form)
+
+
+def _smoother_impl(parms, x0, like, u, lane_form, plane_form):
+    elems, bshape, T, hdim = _build_elements(parms, x0, like, u)
     if lane_form:
         return _lane_smoother(elems, bshape, T, hdim)
-    if plane_form is None:
-        plane_form = hdim <= PLANE_KALMAN_MAX_H
     if plane_form:
         return _plane_smoother(elems, bshape, T, hdim)
     return _dense_smoother(elems, bshape, T, hdim)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_smoother(lane_form, plane_form):
+    return jax.jit(
+        functools.partial(
+            _smoother_impl, lane_form=lane_form, plane_form=plane_form
+        )
+    )

@@ -20,6 +20,8 @@ checked in tests/test_seq_parallel.py on the 8-virtual-device CPU mesh.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -168,6 +170,20 @@ def time_sharded_forward_backward(trans_logits, init_logits, obs_logits, mesh,
     elif obs_logits.ndim <= 2:
         batch_axis = None  # no batch dim to shard
 
+    return _jit_fb(mesh, float(ptemp), time_axis, batch_axis)(
+        trans_logits, init_logits, obs_logits
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_fb(mesh, ptemp, time_axis, batch_axis):
+    """Jitted shard_map program for time_sharded_forward_backward, memoized
+    on the static arguments. An un-jitted shard_map call dispatches the body
+    eagerly (order-of-magnitude slower than the compiled program and
+    re-traced every call); the cache makes eager wrapper use pay trace +
+    compile once per (mesh, statics, shapes)."""
+    from jax.sharding import PartitionSpec as P
+
     def body(trans, init, obs):
         M = trans + obs[:, ..., None, :]
 
@@ -220,7 +236,7 @@ def time_sharded_forward_backward(trans_logits, init_logits, obs_logits, mesh,
         # the check
         check_vma=False,
     )
-    return shard(trans_logits, init_logits, obs_logits)
+    return jax.jit(shard)
 
 
 def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq",
@@ -240,14 +256,7 @@ def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq",
     element arrays) — combined sequence + data parallelism with no extra
     collectives (the combine is batch-elementwise).
     """
-    from jax.sharding import PartitionSpec as P
-    from ..ops.parallel_kalman import (
-        _build_elements,
-        _combine,
-        _marginalize_left,
-        _marginalize_right,
-    )
-    from ..utils.linalg import sym_inv, sym_inv_and_logdet, sym_solve_and_logdet, mT
+    from ..ops.parallel_kalman import _build_elements
 
     D = mesh.shape[time_axis]
     if like[0].shape[0] % D != 0:
@@ -266,6 +275,31 @@ def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq",
             )
     elif len(bshape) <= 2:
         batch_axis = None  # (h, h) only: no batch dim to shard
+
+    Sigma, mu, Js, hs, Sigma_cross_all, Sigma_x0_x0, mu_x0, logZ_total = _jit_kalman(
+        mesh, time_axis, batch_axis, hdim
+    )(*elems)
+    return (
+        (Sigma, mu, Js, hs),
+        Sigma_cross_all[1:],
+        Sigma_cross_all[0],
+        Sigma_x0_x0,
+        mu_x0,
+        logZ_total,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_kalman(mesh, time_axis, batch_axis, hdim):
+    """Jitted shard_map program for time_sharded_kalman_smoother, memoized
+    on the statics (see _jit_fb for why eager shard_map must be avoided)."""
+    from jax.sharding import PartitionSpec as P
+    from ..ops.parallel_kalman import (
+        _combine,
+        _marginalize_left,
+        _marginalize_right,
+    )
+    from ..utils.linalg import sym_inv, sym_inv_and_logdet, sym_solve_and_logdet, mT
 
     def body(Jaa, Jab, Jbb, ha, hb, logw):
         el = (Jaa, Jab, Jbb, ha, hb, logw)
@@ -324,12 +358,4 @@ def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq",
         out_specs=(sh, sh, sh, sh, sh, b0, b0, b0),
         check_vma=False,
     )
-    Sigma, mu, Js, hs, Sigma_cross_all, Sigma_x0_x0, mu_x0, logZ_total = shard(*elems)
-    return (
-        (Sigma, mu, Js, hs),
-        Sigma_cross_all[1:],
-        Sigma_cross_all[0],
-        Sigma_x0_x0,
-        mu_x0,
-        logZ_total,
-    )
+    return jax.jit(shard)

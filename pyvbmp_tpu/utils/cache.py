@@ -1,0 +1,47 @@
+"""Persistent-compilation-cache helpers.
+
+XLA:CPU persists AOT-compiled executables keyed by program only — an entry
+compiled on one host fails its machine-feature check on another
+(cpu_aot_loader: "Machine type used for XLA:CPU compilation doesn't match")
+and every lookup falls back to a full recompile, silently making the cache
+useless when /tmp survives a host change. Keying the cache directory by a
+host signature gives each machine its own working cache.
+"""
+import hashlib
+import os
+import platform
+
+
+def host_signature():
+    """Short stable id of this host's CPU microarchitecture."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(
+                (ln for ln in f if ln.startswith(("flags", "Features"))), ""
+            )
+    except OSError:
+        flags = platform.processor()
+    raw = f"{platform.machine()}|{flags}".encode()
+    return hashlib.md5(raw).hexdigest()[:10]
+
+
+def host_keyed_cache_dir(base="/tmp/jax_comp_cache"):
+    return f"{base}_{host_signature()}"
+
+
+def enable_persistent_cache(base="/tmp/jax_comp_cache", min_compile_secs=0.2):
+    """Point jax's persistent compilation cache at a host-keyed directory.
+    Call after importing jax, before the first jit compile. Best-effort."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", host_keyed_cache_dir(base))
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", min_compile_secs
+        )
+    except Exception:
+        pass
+    return None
+
+
+__all__ = ["host_signature", "host_keyed_cache_dir", "enable_persistent_cache"]

@@ -25,12 +25,12 @@ os.environ.setdefault("PYVBMP_PLANE_HMM_MAX_K", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent jit cache: the suite is compile-dominated on this 1-core box
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache_cpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-except Exception:
-    pass
+# persistent jit cache: the suite is compile-dominated on this 1-core box.
+# Host-keyed dir: XLA:CPU AOT entries from a different machine fail their
+# feature check on load and silently force recompiles (utils/cache.py).
+from pyvbmp_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache("/tmp/jax_comp_cache_cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -24,6 +24,10 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+from pyvbmp_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache("/tmp/jax_comp_cache_cpu_x64")
+
 import jax.numpy as jnp
 
 from pyvbmp_tpu.utils.jaxutils import replace
