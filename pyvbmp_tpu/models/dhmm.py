@@ -69,7 +69,7 @@ def driven_forward_backward(trans_logits, init_logits, obs_logits, ptemp=1.0):
 
 class dHMM:
     def __init__(self, obs_dist, p, transition_mask=None, ptemp=1.0,
-                 parallel_scan=False, key=None):
+                 parallel_scan=False, time_mesh=None, key=None):
         from ..utils.rng import key_or_next
         import jax.random as jr
 
@@ -82,6 +82,9 @@ class dHMM:
         self.batch_dim = len(self.batch_shape)
         self.ptemp = ptemp
         self.parallel_scan = parallel_scan
+        # sequence parallelism: a Mesh with a "seq" axis shards the TIME axis
+        # of the driven forward-backward (parallel/seq_parallel.py)
+        self.time_mesh = time_mesh
         key = key_or_next(key)
         self.transition = MultiNomialLogisticRegression(
             n, p, batch_shape=self.batch_shape + (n,), pad_X=True, key=key
@@ -99,11 +102,27 @@ class dHMM:
     def transition_logits(self, X):
         return self.transition.log_predict(X)
 
-    def raw_update_states(self, X, Y):
+    def _fb(self):
+        """Smoother dispatch: time-sharded > parallel-scan > sequential."""
+        if getattr(self, "time_mesh", None) is not None:
+            from ..parallel.seq_parallel import (
+                time_sharded_driven_forward_backward,
+            )
+
+            def fb(trans, init, obs, ptemp):
+                return time_sharded_driven_forward_backward(
+                    trans, init, obs, self.time_mesh, ptemp=ptemp
+                )
+
+            return fb
         if self.parallel_scan:
-            from ..ops.parallel_hmm import driven_forward_backward_parallel as fb
-        else:
-            fb = driven_forward_backward
+            from ..ops.parallel_hmm import driven_forward_backward_parallel
+
+            return driven_forward_backward_parallel
+        return driven_forward_backward
+
+    def raw_update_states(self, X, Y):
+        fb = self._fb()
         self.p, SEzz, SEz0, logZ = fb(
             self.transition_logits(X),
             self.initial.loggeomean(),
@@ -134,10 +153,7 @@ class dHMM:
         The MNLR transition is a stateful shell around its ``beta`` node; the
         node is swapped in for the trace and restored after, so this function
         is pure in its pytree arguments and jits/scans cleanly."""
-        if self.parallel_scan:
-            from ..ops.parallel_hmm import driven_forward_backward_parallel as fb
-        else:
-            fb = driven_forward_backward
+        fb = self._fb()
         tr = self.transition
         saved = tr.beta
         try:
@@ -185,7 +201,8 @@ class dHMM:
         X = X[..., None, :]
         if not hasattr(self, "_jit_cache"):
             self._jit_cache = {}
-        key = ("vb_multi", iters, self.ptemp, self.parallel_scan)
+        key = ("vb_multi", iters, self.ptemp, self.parallel_scan,
+               getattr(self, "time_mesh", None))
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
                 self._vb_multi, static_argnames=("iters",)

@@ -239,6 +239,95 @@ def _jit_fb(mesh, ptemp, time_axis, batch_axis):
     return jax.jit(shard)
 
 
+def time_sharded_driven_forward_backward(trans_logits, init_logits, obs_logits,
+                                         mesh, ptemp=1.0, time_axis="seq",
+                                         batch_axis="auto"):
+    """driven_forward_backward_parallel (per-time transition logits,
+    models/dhmm.py semantics) with the TIME axis sharded over
+    ``mesh[time_axis]``. Returns (p, SEzz per-time, SEz0, logZ); p and SEzz
+    come back sharded over time.
+
+    trans_logits: (T,) + batch + (K, K), obs_logits: (T,) + batch + (K,).
+    T must divide by the mesh axis size.
+    """
+    D = mesh.shape[time_axis]
+    if obs_logits.shape[0] % D != 0:
+        raise ValueError(
+            f"T={obs_logits.shape[0]} must be divisible by the '{time_axis}' "
+            f"mesh axis size {D} for sequence parallelism"
+        )
+    batch_axis = _batch_axis_of(mesh, time_axis, batch_axis)
+    if batch_axis is not None and obs_logits.ndim > 2:
+        Db = mesh.shape[batch_axis]
+        if obs_logits.shape[1] % Db != 0:
+            raise ValueError(
+                f"batch={obs_logits.shape[1]} must be divisible by the "
+                f"'{batch_axis}' mesh axis size {Db}"
+            )
+    elif obs_logits.ndim <= 2:
+        batch_axis = None  # no batch dim to shard
+
+    return _jit_driven_fb(mesh, float(ptemp), time_axis, batch_axis)(
+        trans_logits, init_logits, obs_logits
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_driven_fb(mesh, ptemp, time_axis, batch_axis):
+    """Jitted shard_map program for the driven (per-time-transition)
+    forward-backward; same structure as _jit_fb with trans sharded over time
+    and the pairwise marginals returned per-time instead of time-summed."""
+    from jax.sharding import PartitionSpec as P
+
+    def body(trans, init, obs):
+        M = trans + obs[:, ..., None, :]
+
+        prefix = sharded_associative_scan(um.logmatmulexp, M, time_axis)
+        suffix = sharded_associative_scan(
+            um.logmatmulexp, M, time_axis, reverse=True
+        )
+
+        alpha = um.stable_logsumexp(init[..., :, None] + prefix, -2)
+        last_rows = jax.lax.all_gather(alpha[-1], time_axis)
+        logZ = um.stable_logsumexp(last_rows[-1], -1, keepdims=True)
+        alpha = alpha - logZ
+        logZ = logZ[..., 0]
+
+        beta = um.stable_logsumexp(suffix, -1)
+        beta_t = shift_up(beta, time_axis, fill=0.0)
+
+        smoothed = alpha + beta_t
+        smoothed = smoothed - um.stable_logsumexp(smoothed, -1, keepdims=True)
+
+        init_row = jnp.broadcast_to(init, alpha.shape[1:])
+        alpha_prev = shift_down(alpha, time_axis, init_row)
+        xi = alpha_prev[..., :, None] + M + beta_t[..., None, :]
+        SEzz = jnp.exp(xi - um.stable_logsumexp(xi, (-1, -2), keepdims=True))
+        idx = jax.lax.axis_index(time_axis)
+        SEz0_local = jnp.where(
+            idx == 0, SEzz[0].sum(-1), jnp.zeros_like(SEzz[0].sum(-1))
+        )
+        SEz0 = jax.lax.psum(SEz0_local, time_axis)
+
+        p = jnp.exp((smoothed - smoothed.max(-1, keepdims=True)) / ptemp)
+        p = p / p.sum(-1, keepdims=True)
+        return p, SEzz, SEz0, logZ
+
+    if batch_axis is not None:
+        tb = P(time_axis, batch_axis)
+        b0 = P(batch_axis)
+    else:
+        tb, b0 = P(time_axis), P()
+    shard = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(tb, P(), tb),
+        out_specs=(tb, tb, b0, b0),
+        check_vma=False,
+    )
+    return jax.jit(shard)
+
+
 def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq",
                                  batch_axis="auto"):
     """ops.parallel_kalman.parallel_kalman_smoother with the TIME axis

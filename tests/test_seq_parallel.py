@@ -168,6 +168,39 @@ def test_dmbd_fit_with_time_mesh_matches_parallel_scan():
     )
 
 
+def test_dhmm_fit_with_time_mesh_matches_parallel_scan():
+    """Model-level SP for the input-driven HMM: dHMM(time_mesh=...) shards
+    the per-time-transition forward-backward over time and must fit
+    identically to the resident-time parallel_scan path."""
+    from pyvbmp_tpu.dists import NormalInverseWishart
+    from pyvbmp_tpu.models import dHMM
+    from pyvbmp_tpu.utils import rng
+
+    rs = np.random.RandomState(4)
+    T, B, K, pdim, d = 16, 5, 3, 2, 2
+    U = jnp.asarray(rs.randn(T, B, pdim), jnp.float32)
+    mus = rs.randn(K, d) * 3
+    z = rs.randint(0, K, (T, B))
+    Y = jnp.asarray(mus[z] + 0.2 * rs.randn(T, B, d), jnp.float32)
+
+    rng.seed(31)
+    a = dHMM(NormalInverseWishart.create((d,), batch_shape=(K,)), pdim,
+             parallel_scan=True)
+    a.raw_update(U, Y, iters=2)
+
+    rng.seed(31)
+    b = dHMM(NormalInverseWishart.create((d,), batch_shape=(K,)), pdim,
+             time_mesh=_mesh())
+    b.raw_update(U, Y, iters=2)
+
+    np.testing.assert_allclose(
+        np.asarray(a.ELBO_save), np.asarray(b.ELBO_save), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.p), np.asarray(b.p), atol=2e-5
+    )
+
+
 def test_time_sharded_rejects_nondivisible_T():
     import pytest
 

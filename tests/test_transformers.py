@@ -39,7 +39,9 @@ def test_focused_bayesian_transformer_updates():
     m = FocusedBayesianTransformer(
         mixture_dim=8, role_dim=4, obs_dim=2, hidden_dim=2, pad_X=True
     )
-    m.raw_update(Y, iters=4)
+    # 2 sweeps suffice: this test asserts finiteness, not convergence, and
+    # the stack updates eagerly (each extra sweep is ~6 s of 1-core dispatch)
+    m.raw_update(Y, iters=2)
     elbos = np.asarray(m.ELBO_save)
     assert np.isfinite(elbos).all()
 
