@@ -142,19 +142,24 @@ def _mixture_step(event_dim, batch_dim, pi, dist, Xv, lr):
 
 
 def _mixture_multi(event_dim, batch_dim, pi, dist, Xv, lr, iters):
-    """Fused multi-iteration VB-EM (single device call)."""
+    """Fused multi-iteration VB-EM (single device call).
+
+    Only the ELBO trajectory is stacked across iterations: stacking p into an
+    (iters, n, K) scan output forces every intermediate iteration to write
+    the full assignment matrix to HBM (and holds iters copies live) when only
+    the last is consumed.  The final iteration runs outside the scan instead."""
 
     def body(carry, _):
         pi, dist = carry
-        pi, dist, p, NA, logZ, ELBO = _mixture_step(
+        pi, dist, _p, _NA, _logZ, ELBO = _mixture_step(
             event_dim, batch_dim, pi, dist, Xv, lr
         )
-        return (pi, dist), (p, NA, logZ, ELBO)
+        return (pi, dist), ELBO
 
-    (pi, dist), (ps, NAs, logZs, ELBOs) = jax.lax.scan(
-        body, (pi, dist), None, length=iters
-    )
-    return pi, dist, ps[-1], NAs[-1], logZs[-1], ELBOs
+    (pi, dist), ELBOs = jax.lax.scan(body, (pi, dist), None, length=iters - 1)
+    pi, dist, p, NA, logZ, ELBO = _mixture_step(event_dim, batch_dim, pi, dist, Xv, lr)
+    ELBOs = jnp.concatenate([ELBOs, ELBO[None]], 0)
+    return pi, dist, p, NA, logZ, ELBOs
 
 
 _step_cache = {}

@@ -184,15 +184,21 @@ class dHMM:
     def _vb_multi(self, beta, initial, obs_dist, X, Y, lr, iters):
         def body(carry, _):
             beta, initial, obs_dist = carry
-            beta, initial, obs_dist, p, NA, sumlogZ, ELBO = self._vb_step(
+            beta, initial, obs_dist, _p, _NA, _sumlogZ, ELBO = self._vb_step(
                 beta, initial, obs_dist, X, Y, lr
             )
-            return (beta, initial, obs_dist), (p, NA, sumlogZ, ELBO)
+            return (beta, initial, obs_dist), ELBO
 
-        carry, (ps, NAs, logZs, ELBOs) = jax.lax.scan(
-            body, (beta, initial, obs_dist), None, length=iters
+        # stack only the ELBO trajectory; the last sweep runs outside the
+        # scan so intermediate p/NA never hit an iters-stacked HBM buffer
+        carry, ELBOs = jax.lax.scan(
+            body, (beta, initial, obs_dist), None, length=iters - 1
         )
-        return carry + (ps[-1], NAs[-1], logZs[-1], ELBOs)
+        beta, initial, obs_dist, p, NA, sumlogZ, ELBO = self._vb_step(
+            *carry, X, Y, lr
+        )
+        ELBOs = jnp.concatenate([ELBOs, ELBO[None]], 0)
+        return beta, initial, obs_dist, p, NA, sumlogZ, ELBOs
 
     def raw_update(self, X, Y, iters=1, lr=1.0, verbose=False):
         import numpy as np

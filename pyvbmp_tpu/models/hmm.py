@@ -209,22 +209,29 @@ class HMM:
         self.obs_dist = self._obs_update(self.obs_dist, X, self.p, lr, beta)
 
     def _vb_multi(self, transition, initial, obs_dist, X, lr, beta, iters):
-        """Fused multi-iteration VB-EM: one device call per fit."""
+        """Fused multi-iteration VB-EM: one device call per fit.
+
+        Only the scalar ELBO trajectory is stacked across iterations; the big
+        per-sample posteriors (p is (T, b, K)) would otherwise be written to
+        an (iters, T, b, K) scan output that only its last slice of is ever
+        read — the final iteration runs outside the scan so intermediate
+        iterations never materialize p to HBM."""
 
         def body(carry, _):
             transition, initial, obs_dist = carry
-            transition, initial, obs_dist, p, NA, logZ, ELBO = self._vb_step(
+            transition, initial, obs_dist, _p, _NA, _logZ, ELBO = self._vb_step(
                 transition, initial, obs_dist, X, lr, beta
             )
-            return (transition, initial, obs_dist), (p, NA, logZ, ELBO)
+            return (transition, initial, obs_dist), ELBO
 
-        carry, (ps, NAs, logZs, ELBOs) = jax.lax.scan(
-            body, (transition, initial, obs_dist), None, length=iters
+        carry, ELBOs = jax.lax.scan(
+            body, (transition, initial, obs_dist), None, length=iters - 1
         )
-        return carry + (
-            jax.tree_util.tree_map(lambda x: x[-1], (ps, NAs, logZs)),
-            ELBOs,
+        transition, initial, obs_dist, p, NA, logZ, ELBO = self._vb_step(
+            *carry, X, lr, beta
         )
+        ELBOs = jnp.concatenate([ELBOs, ELBO[None]], 0)
+        return transition, initial, obs_dist, (p, NA, logZ), ELBOs
 
     def update(self, X, iters=1, T=None, lr=1.0, beta=None, verbose=False):
         if iters == 1:

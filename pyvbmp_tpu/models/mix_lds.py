@@ -63,15 +63,19 @@ class MixtureofLinearDynamicalSystems:
     def _vb_multi(self, x0, A, obs_model, pi, y, u, r, lr, iters):
         def body(carry, _):
             x0, A, obs_model, pi = carry
-            x0, A, obs_model, pi, p, logZ, ELBO = self._vb_step(
+            x0, A, obs_model, pi, _p, _logZ, ELBO = self._vb_step(
                 x0, A, obs_model, pi, y, u, r, lr
             )
-            return (x0, A, obs_model, pi), (p, logZ, ELBO)
+            return (x0, A, obs_model, pi), ELBO
 
-        carry, (ps, logZs, ELBOs) = jax.lax.scan(
-            body, (x0, A, obs_model, pi), None, length=iters
+        # stack only ELBOs; the last sweep runs outside the scan so the
+        # (b, K) responsibilities aren't written to an iters-stacked buffer
+        carry, ELBOs = jax.lax.scan(
+            body, (x0, A, obs_model, pi), None, length=iters - 1
         )
-        return carry + (ps[-1], logZs[-1], ELBOs)
+        x0, A, obs_model, pi, p, logZ, ELBO = self._vb_step(*carry, y, u, r, lr)
+        ELBOs = jnp.concatenate([ELBOs, ELBO[None]], 0)
+        return x0, A, obs_model, pi, p, logZ, ELBOs
 
     def update(self, y, u=None, r=None, iters=1, lr=1.0, verbose=False):
         y, u, r = self.lds.reshape_inputs(y, u, r)

@@ -280,12 +280,17 @@ class NonLinearDynamicalSystems:
         return (x0, A, B, new_Tbeta, pi0, ps), (px.mu, px.Sigma), logZs, ELBO
 
     def _vb_multi(self, nodes, y, lr, iters):
+        # stack only ELBOs across sweeps; the last sweep runs outside the
+        # scan so the (T, b, h) smoothed posterior isn't written into an
+        # iters-stacked HBM buffer only whose last slice is read
         def body(carry, _):
-            carry, pxp, logZ, ELBO = self._vb_step(carry, y, lr)
-            return carry, (pxp, logZ, ELBO)
+            carry, _pxp, _logZ, ELBO = self._vb_step(carry, y, lr)
+            return carry, ELBO
 
-        carry, (pxps, logZs, ELBOs) = jax.lax.scan(body, nodes, None, length=iters)
-        return carry, jax.tree_util.tree_map(lambda a: a[-1], pxps), logZs[-1], ELBOs
+        carry, ELBOs = jax.lax.scan(body, nodes, None, length=iters - 1)
+        carry, pxp, logZ, ELBO = self._vb_step(carry, y, lr)
+        ELBOs = jnp.concatenate([ELBOs, ELBO[None]], 0)
+        return carry, pxp, logZ, ELBOs
 
     # ------------------------------------------------------------- reference API
     def update(self, y, iters=1, lr=1.0, verbose=False):

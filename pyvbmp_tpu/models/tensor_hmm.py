@@ -178,15 +178,22 @@ class Tensor_HMM:
 
         def body(carry, _):
             transition, initial, obs_dist = carry
-            transition, initial, obs_dist, p, NA, logZ, ELBO = self._vb_step(
+            transition, initial, obs_dist, _p, _NA, _logZ, ELBO = self._vb_step(
                 transition, initial, obs_dist, X, lr, beta
             )
-            return (transition, initial, obs_dist), (p, NA, logZ, ELBO)
+            return (transition, initial, obs_dist), ELBO
 
-        carry, (ps, NAs, logZs, ELBOs) = jax.lax.scan(
-            body, (transition, initial, obs_dist), None, length=iters
+        # stack only the ELBO trajectory; run the last sweep outside the scan
+        # so intermediate iterations never write the (T, b, K...) posterior
+        # into an iters-stacked HBM buffer only whose last slice is read
+        carry, ELBOs = jax.lax.scan(
+            body, (transition, initial, obs_dist), None, length=iters - 1
         )
-        return carry + (ps[-1], NAs[-1], logZs[-1], ELBOs)
+        transition, initial, obs_dist, p, NA, logZ, ELBO = self._vb_step(
+            *carry, X, lr, beta
+        )
+        ELBOs = jnp.concatenate([ELBOs, ELBO[None]], 0)
+        return transition, initial, obs_dist, p, NA, logZ, ELBOs
 
     def update(self, X, iters=1, T=None, lr=1.0, beta=None, verbose=False):
         import numpy as np
