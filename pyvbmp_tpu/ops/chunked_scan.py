@@ -1,0 +1,148 @@
+"""Chunked (single-pass block) inclusive scan — a launch-lean alternative to
+``jax.lax.associative_scan``.
+
+``lax.associative_scan`` lowers to ~2 log2 T kernel-launch *levels* (up-sweep
++ down-sweep), each a separate fused XLA op over a shrinking slice.  At the
+reference-scale shapes this framework runs (PARITY.md's scaling study), the
+smoothers are latency/launch-bound, not FLOP-bound: the deep levels operate
+on a handful of elements and cost dispatch, not compute.
+
+The chunked scan is the classic three-phase block formulation:
+
+  1. split the T axis into C chunks of length L and run an *in-chunk
+     sequential* inclusive scan with ``lax.scan`` (one XLA while-loop — the
+     combine body executes L times with no per-level dispatch, batched over
+     the C chunks x the element batch on the lanes);
+  2. scan the C chunk totals with ``lax.associative_scan`` (C is small, so
+     this contributes ~log2 C tiny levels);
+  3. one *batched* combine of each chunk's carry-in with its local prefixes
+     (a single fused op over all T elements).
+
+Work is O(T) combines (same constant as associative_scan's work-efficient
+form), HBM traffic is ~3 element passes, and the launch count drops from
+~2 log2 T levels to {1 loop + log2 C levels + 1 batched combine}.
+
+The operator must be associative (same contract as ``associative_scan``);
+float results differ from other association orders at roundoff level only.
+
+Used by ops/parallel_kalman.py and ops/parallel_hmm.py for the smoother
+prefix/suffix scans (reference time loops being replaced:
+LinearDynamicalSystems.py:332-383, HMM.py:72-105); generic over pytrees.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+# dispatch knobs (see parallel_kalman/parallel_hmm): chunked scans replace
+# associative_scan when the time axis is at least CHUNKED_SCAN_MIN_T
+CHUNKED_SCAN_MIN_T = int(os.environ.get("PYVBMP_CHUNKED_SCAN_MIN_T", "48"))
+
+
+def _choose_chunk(T):
+    """Chunk length ~sqrt(T) clamped to [8, 64]: balances the sequential
+    in-chunk loop (L serial combine executions) against the cross-chunk
+    associative levels (log2(T/L)) and the padding waste (< L elements)."""
+    L = 8
+    while L * L < T and L < 64:
+        L *= 2
+    return L
+
+
+def chunked_scan(combine, elems, reverse=False, chunk=None):
+    """Inclusive scan of ``combine`` over axis 0 of the pytree ``elems``.
+
+    Drop-in for ``jax.lax.associative_scan(combine, elems, axis=0,
+    reverse=reverse)``.  ``reverse=True`` matches associative_scan's
+    convention: the scan runs from the end toward the start, and the operands
+    are passed as (later, earlier) — callers that need chain order already
+    swap the arguments in their combine lambda.
+    """
+    leaves = jax.tree_util.tree_leaves(elems)
+    T = leaves[0].shape[0]
+    if T <= 2:
+        return jax.lax.associative_scan(combine, elems, axis=0, reverse=reverse)
+    if reverse:
+        # associative_scan(reverse=True) == flip o forward-scan o flip with
+        # the operator untouched (operand order is the caller's concern)
+        flipped = jax.tree_util.tree_map(lambda a: jnp.flip(a, 0), elems)
+        out = chunked_scan(combine, flipped, chunk=chunk)
+        return jax.tree_util.tree_map(lambda a: jnp.flip(a, 0), out)
+
+    L = chunk or _choose_chunk(T)
+    C = -(-T // L)
+    pad = C * L - T
+
+    def pad_tail(a):
+        if pad == 0:
+            return a
+        # duplicate the last element: combine(x, x) is always well-defined
+        # for these semigroups, and padding at the tail of a *forward*
+        # (causal) scan cannot affect outputs at t < T
+        return jnp.concatenate([a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], 0)
+
+    def to_chunks(a):  # (C*L, ...) -> (L, C, ...): L on the scan axis
+        return a.reshape((C, L) + a.shape[1:]).swapaxes(0, 1)
+
+    ec = jax.tree_util.tree_map(lambda a: to_chunks(pad_tail(a)), elems)
+
+    # phase 1: in-chunk sequential inclusive scan (carry batched over C)
+    e0 = jax.tree_util.tree_map(lambda a: a[0], ec)
+    erest = jax.tree_util.tree_map(lambda a: a[1:], ec)
+
+    def step(carry, e):
+        nxt = combine(carry, e)
+        return nxt, nxt
+
+    last, rest = jax.lax.scan(step, e0, erest)
+    local = jax.tree_util.tree_map(
+        lambda h, r: jnp.concatenate([h[None], r], 0), e0, rest
+    )  # (L, C, ...) inclusive prefixes within each chunk
+
+    # phase 2: exclusive scan of the C chunk totals (C small => few levels).
+    # totals[c] = inclusive total of chunk c; carry_in[c] = totals scanned
+    # exclusively. There is no identity element for these semigroups, so the
+    # c == 0 row keeps a dummy (totals[0]) and is masked out in phase 3.
+    totals = last  # (C, ...)
+    tot_incl = jax.lax.associative_scan(combine, totals, axis=0)
+    carry_in = jax.tree_util.tree_map(
+        lambda a: jnp.concatenate([a[:1], a[:-1]], 0), tot_incl
+    )
+
+    # phase 3: one batched combine of carry_in[c] with every local prefix,
+    # masked to passthrough for chunk 0.  Combines that mix leaves (e.g. the
+    # dense Kalman combine concatenates right-hand sides) don't
+    # rank-broadcast — lift the carry to the local leading dim explicitly.
+    carry_b = jax.tree_util.tree_map(
+        lambda c, l: jnp.broadcast_to(c[None], l.shape), carry_in, local
+    )
+    combined = combine(carry_b, local)
+
+    def select(cmb, loc):
+        mask_shape = (1, C) + (1,) * (loc.ndim - 2)
+        first = jnp.arange(C).reshape((C,) + (1,) * (loc.ndim - 2)) == 0
+        return jnp.where(first[None].reshape(mask_shape), loc, cmb)
+
+    out = jax.tree_util.tree_map(select, combined, local)
+
+    def from_chunks(a):  # (L, C, ...) -> (T, ...)
+        return a.swapaxes(0, 1).reshape((C * L,) + a.shape[2:])[:T]
+
+    return jax.tree_util.tree_map(from_chunks, out)
+
+
+def auto_scan(combine, elems, reverse=False):
+    """``chunked_scan`` when the time axis is long enough to amortize the
+    three-phase structure, plain ``associative_scan`` below the threshold
+    (or when disabled via PYVBMP_CHUNKED_SCAN_MIN_T=0)."""
+    import pyvbmp_tpu.ops.chunked_scan as _self  # live attr: tests monkeypatch
+
+    T = jax.tree_util.tree_leaves(elems)[0].shape[0]
+    if _self.CHUNKED_SCAN_MIN_T > 0 and T >= _self.CHUNKED_SCAN_MIN_T:
+        return chunked_scan(combine, elems, reverse=reverse)
+    return jax.lax.associative_scan(combine, elems, axis=0, reverse=reverse)
+
+
+__all__ = ["chunked_scan", "auto_scan", "CHUNKED_SCAN_MIN_T", "_choose_chunk"]

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import math as um
+from .chunked_scan import auto_scan
 
 # Layout dispatch, measured on the v5e chip (round 3, PARITY.md): the plane
 # form (stacked (T, K, K, N) layout, O(1) HLO ops per semiring matmul) beats
@@ -77,11 +78,9 @@ def _hmm_lane_core(M, init_logits, ptemp):
         for i in range(K)
     ]
 
-    prefix = jax.lax.associative_scan(
-        lambda a, b: _logmatmul_lane(K, a, b), Md, axis=0
-    )
-    suffix = jax.lax.associative_scan(
-        lambda a, b: _logmatmul_lane(K, b, a), Md, axis=0, reverse=True
+    prefix = auto_scan(lambda a, b: _logmatmul_lane(K, a, b), Md)
+    suffix = auto_scan(
+        lambda a, b: _logmatmul_lane(K, b, a), Md, reverse=True
     )
 
     alpha = [
@@ -161,10 +160,8 @@ def _hmm_plane_core(M, init_logits, ptemp):
         jnp.broadcast_to(init_logits, bshape + (K,)).reshape(N, K).T
     )  # (K, N)
 
-    prefix = jax.lax.associative_scan(_logmatmul_plane, Mp, axis=0)
-    suffix = jax.lax.associative_scan(
-        lambda a, b: _logmatmul_plane(b, a), Mp, axis=0, reverse=True
-    )
+    prefix = auto_scan(_logmatmul_plane, Mp)
+    suffix = auto_scan(lambda a, b: _logmatmul_plane(b, a), Mp, reverse=True)
 
     alpha = _lse_axis(ivec[None, :, None, :] + prefix, -3)  # (T, K, N)
     logZ = _lse_axis(alpha[-1], 0)  # (N,)
@@ -249,7 +246,7 @@ def _fb_impl(trans_logits, init_logits, obs_logits, ptemp, lane_form,
         return p, xi.sum(0), SEz0, logZ
 
     # alpha_t = init ⊗ M_0 ⊗ ... ⊗ M_t  (prefix scan, row-vector form)
-    prefix = jax.lax.associative_scan(_logmatmul, M, axis=0)
+    prefix = auto_scan(_logmatmul, M)
     alpha = um.stable_logsumexp(
         init_logits[..., :, None] + prefix, -2
     )  # (T,)+sample+batch+(K,)
@@ -261,9 +258,7 @@ def _fb_impl(trans_logits, init_logits, obs_logits, ptemp, lane_form,
     # beta_t = M_{t+1} ⊗ ... ⊗ M_{T-1} ⊗ 1  (suffix scan, column-vector form).
     # NOTE: with reverse=True the combine sees (later, earlier) operands, so
     # flip the operator to keep left-to-right multiplication order.
-    suffix = jax.lax.associative_scan(
-        lambda a, b: _logmatmul(b, a), M, axis=0, reverse=True
-    )
+    suffix = auto_scan(lambda a, b: _logmatmul(b, a), M, reverse=True)
     # suffix[t] = M_t ⊗ ... ⊗ M_{T-1}; beta_t needs products starting at t+1
     beta = um.stable_logsumexp(suffix, -1)  # includes M_t; shift left by one
     beta_t = jnp.concatenate(
@@ -307,15 +302,13 @@ def driven_forward_backward_parallel(trans_logits, init_logits, obs_logits, ptem
         p, xi, SEz0, logZ = _hmm_plane_core(M, init_logits, ptemp)
         return p, xi, SEz0, logZ
 
-    prefix = jax.lax.associative_scan(_logmatmul, M, axis=0)
+    prefix = auto_scan(_logmatmul, M)
     alpha = um.stable_logsumexp(init_logits[..., :, None] + prefix, -2)
     logZ = um.stable_logsumexp(alpha[-1], -1, keepdims=True)
     alpha = alpha - logZ
     logZ = logZ[..., 0]
 
-    suffix = jax.lax.associative_scan(
-        lambda a, b: _logmatmul(b, a), M, axis=0, reverse=True
-    )
+    suffix = auto_scan(lambda a, b: _logmatmul(b, a), M, reverse=True)
     beta = um.stable_logsumexp(suffix, -1)
     beta_t = jnp.concatenate(
         [beta[1:], jnp.zeros((1,) + beta.shape[1:], beta.dtype)], 0

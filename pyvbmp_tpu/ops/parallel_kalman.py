@@ -42,6 +42,7 @@ from ..utils.linalg import (
     sym_solve_and_logdet,
 )
 from . import smallmat as sm
+from .chunked_scan import auto_scan
 
 # Layout dispatch, measured on the v5e chip (round 3, PARITY.md):
 #   h <= 3: lane form (closed-form adjugates; tied or ahead of plane at h=2
@@ -159,12 +160,10 @@ def _marginalize_right(Jaa, Jab, Jbb, ha, hb, w):
 
 def _dense_smoother(elems, bshape, T, hdim):
     (Jaa, Jab, Jbb, ha, hb, logw) = elems
-    prefix = jax.lax.associative_scan(_combine, elems, axis=0)
+    prefix = auto_scan(_combine, elems)
     # reverse=True passes operands as (later, earlier); flip to keep
     # chain order so the marginalized middle variable is the shared one
-    suffix = jax.lax.associative_scan(
-        lambda a, b: _combine(b, a), elems, axis=0, reverse=True
-    )
+    suffix = auto_scan(lambda a, b: _combine(b, a), elems, reverse=True)
 
     # filtered potentials alpha_t over x_t (marginalize the x_{-1} side)
     Ja, hva, logca = jax.vmap(lambda e: _marginalize_left(*e))(prefix)
@@ -284,11 +283,9 @@ def _lane_smoother(elems, bshape, T, h):
     logw = flat(logw_d)
     elems_l = (Jaa, Jab, Jbb, ha, hb, logw)
 
-    prefix = jax.lax.associative_scan(
-        lambda a, b: _combine_lane(h, a, b), elems_l, axis=0
-    )
-    suffix = jax.lax.associative_scan(
-        lambda a, b: _combine_lane(h, b, a), elems_l, axis=0, reverse=True
+    prefix = auto_scan(lambda a, b: _combine_lane(h, a, b), elems_l)
+    suffix = auto_scan(
+        lambda a, b: _combine_lane(h, b, a), elems_l, reverse=True
     )
 
     Ja, hva, logca = _marginalize_left_lane(h, prefix)
@@ -434,9 +431,9 @@ def _plane_smoother(elems, bshape, T, h):
     logw = logw_d.reshape(T, N)
     elems_p = (Jaa, Jab, Jbb, ha, hb, logw)
 
-    prefix = jax.lax.associative_scan(_combine_plane, elems_p, axis=0)
-    suffix = jax.lax.associative_scan(
-        lambda a, b: _combine_plane(b, a), elems_p, axis=0, reverse=True
+    prefix = auto_scan(_combine_plane, elems_p)
+    suffix = auto_scan(
+        lambda a, b: _combine_plane(b, a), elems_p, reverse=True
     )
 
     Ja, hva, logca = _marginalize_left_plane(prefix)

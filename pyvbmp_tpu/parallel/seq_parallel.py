@@ -56,7 +56,9 @@ def sharded_associative_scan(fn, elems, axis_name, reverse=False):
 
 
 def _sharded_prefix(fn, elems, axis_name, flip_axis):
-    local = jax.lax.associative_scan(fn, elems, axis=0)
+    from ..ops.chunked_scan import auto_scan
+
+    local = auto_scan(fn, elems)
     D = jax.lax.axis_size(axis_name)
     if D == 1:  # single-device mesh: no cross-chunk prefix, skip the collective
         return local

@@ -1,0 +1,95 @@
+"""Chunked (block) scan equivalence: ops/chunked_scan.py vs
+jax.lax.associative_scan, standalone and through the smoother entry points.
+
+The chunked scan replaces the associative scan's ~2 log2 T launch levels
+with {in-chunk lax.scan + tiny cross-chunk scan + one batched combine}; it
+must be numerically a reassociation only.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyvbmp_tpu.models import LinearDynamicalSystems
+from pyvbmp_tpu.ops import chunked_scan as cs
+from pyvbmp_tpu.ops.chunked_scan import chunked_scan
+from pyvbmp_tpu.utils import rng
+
+
+@pytest.mark.parametrize("T", [5, 17, 64, 100])
+@pytest.mark.parametrize("reverse", [False, True])
+def test_matmul_semiring_equivalence(T, reverse):
+    rs = np.random.RandomState(0)
+    M = jnp.asarray(
+        rs.randn(T, 3, 2, 2) * 0.2 + np.eye(2) * 0.7, jnp.float32
+    )
+    op = lambda a, b: a @ b  # non-commutative
+    ref = jax.lax.associative_scan(op, M, axis=0, reverse=reverse)
+    got = chunked_scan(op, M, reverse=reverse)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=2e-5)
+
+
+def test_pytree_and_swapped_operand_reverse():
+    """The smoothers' suffix pattern: pytree elements, combine(b, a)."""
+    rs = np.random.RandomState(1)
+    T = 70
+    tree = (
+        jnp.asarray(rs.randn(T, 2, 3, 3) * 0.2 + np.eye(3) * 0.6, jnp.float32),
+        jnp.asarray(rs.randn(T, 2), jnp.float32),
+    )
+    op = lambda a, b: (b[0] @ a[0], a[1] + b[1])
+    ref = jax.lax.associative_scan(op, tree, axis=0, reverse=True)
+    got = chunked_scan(op, tree, reverse=True)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(g), atol=2e-5)
+
+
+def _kalman_once(T=96, h=2, plane=False):
+    rng.seed(0)
+    lds = LinearDynamicalSystems((3,), h, 0, 0, parallel_scan=True)
+    y = jax.random.normal(jax.random.key(2), (T, 4, 3))
+    yv, uv, rv = lds.reshape_inputs(y)
+    parms = lds._latent_parms(lds.A)
+    like = lds.log_likelihood_function(lds.obs_model, yv, rv)
+    from pyvbmp_tpu.ops.parallel_kalman import parallel_kalman_smoother
+
+    return jax.jit(
+        lambda: parallel_kalman_smoother(
+            parms, lds.x0, like, uv, lane_form=False, plane_form=plane
+        )
+    )()
+
+
+@pytest.mark.parametrize("plane", [False, True])
+def test_kalman_smoother_chunked_equals_level_scan(plane, monkeypatch):
+    """T=96 >= threshold: the smoother takes the chunked path by default;
+    forcing the threshold above T reproduces the pure associative scan."""
+    a = _kalman_once(plane=plane)
+    monkeypatch.setattr(cs, "CHUNKED_SCAN_MIN_T", 10_000)
+    b = _kalman_once(plane=plane)
+    for x, z in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        denom = float(jnp.abs(x).max()) + 1e-30
+        assert float(jnp.abs(x - z).max()) / denom < 3e-5
+
+
+def _hmm_once(T=96, K=3, plane=False):
+    from pyvbmp_tpu.ops.parallel_hmm import forward_backward_parallel
+
+    rs = np.random.RandomState(3)
+    trans = jnp.asarray(np.log(rs.dirichlet(np.ones(K), K)), jnp.float32)
+    init = jnp.asarray(np.log(rs.dirichlet(np.ones(K))), jnp.float32)
+    obs = jnp.asarray(rs.randn(T, 4, K), jnp.float32)
+    return jax.jit(
+        lambda: forward_backward_parallel(
+            trans, init, obs, lane_form=False, plane_form=plane
+        )
+    )()
+
+
+@pytest.mark.parametrize("plane", [False, True])
+def test_hmm_forward_backward_chunked_equals_level_scan(plane, monkeypatch):
+    a = _hmm_once(plane=plane)
+    monkeypatch.setattr(cs, "CHUNKED_SCAN_MIN_T", 10_000)
+    b = _hmm_once(plane=plane)
+    for x, z in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(z), atol=3e-5)
