@@ -36,19 +36,35 @@ import os
 import jax
 import jax.numpy as jnp
 
-# dispatch knobs (see parallel_kalman/parallel_hmm): chunked scans replace
-# associative_scan when the time axis is at least CHUNKED_SCAN_MIN_T
-CHUNKED_SCAN_MIN_T = int(os.environ.get("PYVBMP_CHUNKED_SCAN_MIN_T", "48"))
+# dispatch knob (see parallel_kalman/parallel_hmm): chunked scans replace
+# associative_scan when the time axis is at least CHUNKED_SCAN_MIN_T.
+# Measured on the v5e chip (lane Kalman smoother, h=2, b=128, warm):
+#   T=256: level 3.3 ms vs chunked 4.1 | T=1024: 3.5 vs 3.1
+#   T=2048: 3.1 vs 3.1              | T=8192: 6.5 vs 3.8 (1.7x win)
+# and end-to-end DMBD T=399 prefers the level scan (200 vs 126-202 it/s
+# depending on chunk/unroll). Default picks chunked only where it clearly
+# wins: the long-context regime. 0 disables.
+CHUNKED_SCAN_MIN_T = int(os.environ.get("PYVBMP_CHUNKED_SCAN_MIN_T", "4096"))
 
 
 def _choose_chunk(T):
     """Chunk length ~sqrt(T) clamped to [8, 64]: balances the sequential
     in-chunk loop (L serial combine executions) against the cross-chunk
-    associative levels (log2(T/L)) and the padding waste (< L elements)."""
+    associative levels (log2(T/L)) and the padding waste (< L elements).
+    Overridable via PYVBMP_CHUNK_LEN for measurement."""
+    env = int(os.environ.get("PYVBMP_CHUNK_LEN", "0"))
+    if env > 0:
+        return env
     L = 8
     while L * L < T and L < 64:
         L *= 2
     return L
+
+
+# unroll factor for the in-chunk lax.scan: device-side while-loop iterations
+# carry fixed overhead (loop state DMA + sequential dependency); unrolling
+# trades compile time for fewer, fatter loop bodies
+CHUNK_UNROLL = int(os.environ.get("PYVBMP_CHUNK_UNROLL", "4"))
 
 
 def chunked_scan(combine, elems, reverse=False, chunk=None):
@@ -96,7 +112,9 @@ def chunked_scan(combine, elems, reverse=False, chunk=None):
         nxt = combine(carry, e)
         return nxt, nxt
 
-    last, rest = jax.lax.scan(step, e0, erest)
+    last, rest = jax.lax.scan(
+        step, e0, erest, unroll=min(CHUNK_UNROLL, max(L - 1, 1))
+    )
     local = jax.tree_util.tree_map(
         lambda h, r: jnp.concatenate([h[None], r], 0), e0, rest
     )  # (L, C, ...) inclusive prefixes within each chunk

@@ -62,8 +62,9 @@ def _kalman_once(T=96, h=2, plane=False):
 
 @pytest.mark.parametrize("plane", [False, True])
 def test_kalman_smoother_chunked_equals_level_scan(plane, monkeypatch):
-    """T=96 >= threshold: the smoother takes the chunked path by default;
-    forcing the threshold above T reproduces the pure associative scan."""
+    """Force the chunked path at T=96 (production default only engages in
+    the long-context regime) and compare against the pure associative scan."""
+    monkeypatch.setattr(cs, "CHUNKED_SCAN_MIN_T", 1)
     a = _kalman_once(plane=plane)
     monkeypatch.setattr(cs, "CHUNKED_SCAN_MIN_T", 10_000)
     b = _kalman_once(plane=plane)
@@ -88,6 +89,7 @@ def _hmm_once(T=96, K=3, plane=False):
 
 @pytest.mark.parametrize("plane", [False, True])
 def test_hmm_forward_backward_chunked_equals_level_scan(plane, monkeypatch):
+    monkeypatch.setattr(cs, "CHUNKED_SCAN_MIN_T", 1)
     a = _hmm_once(plane=plane)
     monkeypatch.setattr(cs, "CHUNKED_SCAN_MIN_T", 10_000)
     b = _hmm_once(plane=plane)
