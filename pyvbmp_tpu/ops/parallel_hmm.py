@@ -217,12 +217,16 @@ def forward_backward_parallel(trans_logits, init_logits, obs_logits, ptemp=1.0,
             for l in jax.tree_util.tree_leaves(t)
         )
     ):
-        return _jit_fb(float(ptemp), lane_form, plane_form)(*args)
+        from .parallel_kalman import _dispatch_state
+
+        return _jit_fb(float(ptemp), lane_form, plane_form, _dispatch_state())(
+            *args
+        )
     return _fb_impl(*args, ptemp, lane_form, plane_form)
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_fb(ptemp, lane_form, plane_form):
+def _jit_fb(ptemp, lane_form, plane_form, _state):
     return jax.jit(
         functools.partial(
             _fb_impl, ptemp=ptemp, lane_form=lane_form, plane_form=plane_form

@@ -54,6 +54,53 @@ from .chunked_scan import auto_scan
 LANE_KALMAN_MAX_H = int(os.environ.get("PYVBMP_LANE_KALMAN_MAX_H", "3"))
 PLANE_KALMAN_MAX_H = int(os.environ.get("PYVBMP_PLANE_KALMAN_MAX_H", "32"))
 
+# Opt-in mixed-precision scan storage ("bfloat16"): the combine computes in
+# f32 but stores each scan level's J-matrices and h-vectors in bf16, halving
+# the smoother's HBM level traffic — for the large-batch HBM-bound regime.
+# The logw channel always stays f32: its magnitude grows like O(T) and a
+# 0.4% bf16 relative error there would corrupt logZ/ELBO absolutely.
+SCAN_ELEM_DTYPE = os.environ.get("PYVBMP_SCAN_ELEM_DTYPE", "float32")
+
+
+def _quantize_elems(elems, dtype):
+    """Cast the J/h element leaves (positions 0-4) to ``dtype``; keep logw."""
+    cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(dtype), t)
+    return tuple(cast(e) for e in elems[:5]) + (elems[5],)
+
+
+def _dequantize_elems(elems):
+    up = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32), t
+    )
+    return tuple(up(e) for e in elems[:5]) + (elems[5],)
+
+
+def _mixed_precision_combine(combine, dtype):
+    """Upcast operands to f32, combine, store the result back in ``dtype``
+    (logw stays f32 throughout)."""
+
+    def f(a, b):
+        out = combine(_dequantize_elems(a), _dequantize_elems(b))
+        return _quantize_elems(out, dtype)
+
+    return f
+
+
+def _scan_pair(combine, elems):
+    """Prefix + suffix scans of the pairwise-potential chain, optionally with
+    bf16 level storage (SCAN_ELEM_DTYPE). Returns f32 potentials."""
+    dtype = SCAN_ELEM_DTYPE
+    if dtype == "float32":
+        prefix = auto_scan(combine, elems)
+        suffix = auto_scan(lambda a, b: combine(b, a), elems, reverse=True)
+        return prefix, suffix
+    dt = jnp.dtype(dtype)
+    q = _quantize_elems(elems, dt)
+    cmb = _mixed_precision_combine(combine, dt)
+    prefix = auto_scan(cmb, q)
+    suffix = auto_scan(lambda a, b: cmb(b, a), q, reverse=True)
+    return _dequantize_elems(prefix), _dequantize_elems(suffix)
+
 
 def _build_elements(parms, x0, like, u):
     """Dense pairwise potentials (Jaa, Jab, Jbb, ha, hb, logw), broadcast to
@@ -160,10 +207,9 @@ def _marginalize_right(Jaa, Jab, Jbb, ha, hb, w):
 
 def _dense_smoother(elems, bshape, T, hdim):
     (Jaa, Jab, Jbb, ha, hb, logw) = elems
-    prefix = auto_scan(_combine, elems)
-    # reverse=True passes operands as (later, earlier); flip to keep
-    # chain order so the marginalized middle variable is the shared one
-    suffix = auto_scan(lambda a, b: _combine(b, a), elems, reverse=True)
+    # reverse=True passes operands as (later, earlier); _scan_pair flips to
+    # keep chain order so the marginalized middle variable is the shared one
+    prefix, suffix = _scan_pair(_combine, elems)
 
     # filtered potentials alpha_t over x_t (marginalize the x_{-1} side)
     Ja, hva, logca = jax.vmap(lambda e: _marginalize_left(*e))(prefix)
@@ -283,9 +329,8 @@ def _lane_smoother(elems, bshape, T, h):
     logw = flat(logw_d)
     elems_l = (Jaa, Jab, Jbb, ha, hb, logw)
 
-    prefix = auto_scan(lambda a, b: _combine_lane(h, a, b), elems_l)
-    suffix = auto_scan(
-        lambda a, b: _combine_lane(h, b, a), elems_l, reverse=True
+    prefix, suffix = _scan_pair(
+        lambda a, b: _combine_lane(h, a, b), elems_l
     )
 
     Ja, hva, logca = _marginalize_left_lane(h, prefix)
@@ -431,10 +476,7 @@ def _plane_smoother(elems, bshape, T, h):
     logw = logw_d.reshape(T, N)
     elems_p = (Jaa, Jab, Jbb, ha, hb, logw)
 
-    prefix = auto_scan(_combine_plane, elems_p)
-    suffix = auto_scan(
-        lambda a, b: _combine_plane(b, a), elems_p, reverse=True
-    )
+    prefix, suffix = _scan_pair(_combine_plane, elems_p)
 
     Ja, hva, logca = _marginalize_left_plane(prefix)
     Jb_all, hvb_all, _ = _marginalize_right_plane(suffix)
@@ -522,7 +564,9 @@ def parallel_kalman_smoother(parms, x0, like, u, lane_form=None, plane_form=None
         for t in (parms, x0, like, u)
         for l in jax.tree_util.tree_leaves(t)
     ):
-        return _jit_smoother(lane_form, plane_form)(parms, x0, like, u)
+        return _jit_smoother(lane_form, plane_form, _dispatch_state())(
+            parms, x0, like, u
+        )
     return _smoother_impl(parms, x0, like, u, lane_form, plane_form)
 
 
@@ -535,8 +579,23 @@ def _smoother_impl(parms, x0, like, u, lane_form, plane_form):
     return _dense_smoother(elems, bshape, T, hdim)
 
 
+def _dispatch_state():
+    """Module/env knobs baked into a trace: part of every memo key, so
+    flipping a knob (tests, tuning) retraces instead of silently reusing a
+    program traced under the old setting."""
+    import pyvbmp_tpu.ops.parallel_kalman as _pk
+    from . import chunked_scan as _cs
+
+    return (
+        _pk.SCAN_ELEM_DTYPE,
+        _cs.CHUNKED_SCAN_MIN_T,
+        _cs.CHUNK_UNROLL,
+        os.environ.get("PYVBMP_CHUNK_LEN", "0"),
+    )
+
+
 @functools.lru_cache(maxsize=None)
-def _jit_smoother(lane_form, plane_form):
+def _jit_smoother(lane_form, plane_form, _state):
     return jax.jit(
         functools.partial(
             _smoother_impl, lane_form=lane_form, plane_form=plane_form

@@ -172,13 +172,22 @@ def time_sharded_forward_backward(trans_logits, init_logits, obs_logits, mesh,
     elif obs_logits.ndim <= 2:
         batch_axis = None  # no batch dim to shard
 
-    return _jit_fb(mesh, float(ptemp), time_axis, batch_axis)(
+    return _jit_fb(mesh, float(ptemp), time_axis, batch_axis, _pk_dispatch_state())(
         trans_logits, init_logits, obs_logits
     )
 
 
+def _pk_dispatch_state():
+    """Scan-dispatch knobs baked into shard_map traces (see
+    parallel_kalman._dispatch_state): memo keys must include them so flipping
+    a knob retraces."""
+    from ..ops.parallel_kalman import _dispatch_state
+
+    return _dispatch_state()
+
+
 @functools.lru_cache(maxsize=None)
-def _jit_fb(mesh, ptemp, time_axis, batch_axis):
+def _jit_fb(mesh, ptemp, time_axis, batch_axis, _state=None):
     """Jitted shard_map program for time_sharded_forward_backward, memoized
     on the static arguments. An un-jitted shard_map call dispatches the body
     eagerly (order-of-magnitude slower than the compiled program and
@@ -269,13 +278,13 @@ def time_sharded_driven_forward_backward(trans_logits, init_logits, obs_logits,
     elif obs_logits.ndim <= 2:
         batch_axis = None  # no batch dim to shard
 
-    return _jit_driven_fb(mesh, float(ptemp), time_axis, batch_axis)(
+    return _jit_driven_fb(mesh, float(ptemp), time_axis, batch_axis, _pk_dispatch_state())(
         trans_logits, init_logits, obs_logits
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_driven_fb(mesh, ptemp, time_axis, batch_axis):
+def _jit_driven_fb(mesh, ptemp, time_axis, batch_axis, _state=None):
     """Jitted shard_map program for the driven (per-time-transition)
     forward-backward; same structure as _jit_fb with trans sharded over time
     and the pairwise marginals returned per-time instead of time-summed."""
@@ -368,7 +377,7 @@ def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq",
         batch_axis = None  # (h, h) only: no batch dim to shard
 
     Sigma, mu, Js, hs, Sigma_cross_all, Sigma_x0_x0, mu_x0, logZ_total = _jit_kalman(
-        mesh, time_axis, batch_axis, hdim
+        mesh, time_axis, batch_axis, hdim, _pk_dispatch_state()
     )(*elems)
     return (
         (Sigma, mu, Js, hs),
@@ -381,7 +390,7 @@ def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq",
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_kalman(mesh, time_axis, batch_axis, hdim):
+def _jit_kalman(mesh, time_axis, batch_axis, hdim, _state=None):
     """Jitted shard_map program for time_sharded_kalman_smoother, memoized
     on the statics (see _jit_fb for why eager shard_map must be avoided)."""
     from jax.sharding import PartitionSpec as P
