@@ -207,8 +207,10 @@ class dHMM:
         X = X[..., None, :]
         if not hasattr(self, "_jit_cache"):
             self._jit_cache = {}
+        from ..ops.parallel_kalman import _dispatch_state
+
         key = ("vb_multi", iters, self.ptemp, self.parallel_scan,
-               getattr(self, "time_mesh", None))
+               getattr(self, "time_mesh", None), _dispatch_state())
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
                 self._vb_multi, static_argnames=("iters",)

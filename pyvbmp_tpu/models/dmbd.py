@@ -454,6 +454,8 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
         # obs_model.ptemp is read through ``self`` at trace time (baked into
         # the compiled sweep) — key on it so ptemp annealing between update
         # calls (reference Artificial_Life_example.py:54-57) retraces.
+        from ..ops.parallel_kalman import _dispatch_state
+
         key = (
             "multi",
             latent_iters,
@@ -461,6 +463,7 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
             self.obs_model.ptemp,
             self.parallel_scan,
             getattr(self, "time_mesh", None),
+            _dispatch_state(),
         )
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(

@@ -178,11 +178,14 @@ class HMM:
         # they're baked into the compiled function — key the cache on them or
         # a user mutating them between updates (e.g. ptemp annealing) would
         # silently keep the stale trace.
+        from ..ops.parallel_kalman import _dispatch_state
+
         key = (
             name,
             getattr(self, "ptemp", None),
             getattr(self, "parallel_scan", None),
             getattr(self, "time_mesh", None),
+            _dispatch_state(),
         )
         if key not in self._jit_cache:
             self._jit_cache[key] = fn if _prejitted else jax.jit(fn, **jitkw)

@@ -586,11 +586,14 @@ class LinearDynamicalSystems:
     def _jitted(self, name, fn, _prejitted=False, **kw):
         # cross_cov_compat / parallel_scan / time_mesh are baked into the
         # trace via ``self`` — key on them so toggling retraces.
+        from ..ops.parallel_kalman import _dispatch_state
+
         key = (
             name,
             self.cross_cov_compat,
             self.parallel_scan,
             getattr(self, "time_mesh", None),
+            _dispatch_state(),
         )
         if key not in self._jit_cache:
             self._jit_cache[key] = fn if _prejitted else jax.jit(fn, **kw)

@@ -80,10 +80,13 @@ class MixtureofLinearDynamicalSystems:
     def update(self, y, u=None, r=None, iters=1, lr=1.0, verbose=False):
         y, u, r = self.lds.reshape_inputs(y, u, r)
         # key on smoother flags: they're baked into the trace (see lds._jitted)
+        from ..ops.parallel_kalman import _dispatch_state
+
         jkey = (
             self.lds.parallel_scan,
             self.lds.cross_cov_compat,
             getattr(self.lds, "time_mesh", None),
+            _dispatch_state(),
         )
         if not isinstance(self._jit, dict):
             self._jit = {}

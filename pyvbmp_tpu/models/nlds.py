@@ -315,7 +315,9 @@ class NonLinearDynamicalSystems:
             p0 = 0.5 * hard + 0.5 / self.mixture_dim
         else:
             p0 = self.p
-        key = ("vb_multi", iters)
+        from ..ops.parallel_kalman import _dispatch_state
+
+        key = ("vb_multi", iters, _dispatch_state())
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(self._vb_multi, static_argnames=("iters",))
         nodes = (self.x0, self.A, self.B, self.T.beta, self.pi0, p0)

@@ -137,13 +137,12 @@ def chunked_scan(combine, elems, reverse=False, chunk=None):
         lambda c, l: jnp.broadcast_to(c[None], l.shape), carry_in, local
     )
     combined = combine(carry_b, local)
-
-    def select(cmb, loc):
-        mask_shape = (1, C) + (1,) * (loc.ndim - 2)
-        first = jnp.arange(C).reshape((C,) + (1,) * (loc.ndim - 2)) == 0
-        return jnp.where(first[None].reshape(mask_shape), loc, cmb)
-
-    out = jax.tree_util.tree_map(select, combined, local)
+    # chunk 0 has no carry-in: keep its local prefixes verbatim
+    out = jax.tree_util.tree_map(
+        lambda cmb, loc: jnp.concatenate([loc[:, :1], cmb[:, 1:]], axis=1),
+        combined,
+        local,
+    )
 
     def from_chunks(a):  # (L, C, ...) -> (T, ...)
         return a.swapaxes(0, 1).reshape((C * L,) + a.shape[2:])[:T]
@@ -154,13 +153,29 @@ def chunked_scan(combine, elems, reverse=False, chunk=None):
 def auto_scan(combine, elems, reverse=False):
     """``chunked_scan`` when the time axis is long enough to amortize the
     three-phase structure, plain ``associative_scan`` below the threshold
-    (or when disabled via PYVBMP_CHUNKED_SCAN_MIN_T=0)."""
-    import pyvbmp_tpu.ops.chunked_scan as _self  # live attr: tests monkeypatch
-
+    (or when disabled via PYVBMP_CHUNKED_SCAN_MIN_T=0). The module-global
+    reads resolve at call time, so monkeypatched knobs are visible."""
     T = jax.tree_util.tree_leaves(elems)[0].shape[0]
-    if _self.CHUNKED_SCAN_MIN_T > 0 and T >= _self.CHUNKED_SCAN_MIN_T:
+    if CHUNKED_SCAN_MIN_T > 0 and T >= CHUNKED_SCAN_MIN_T:
         return chunked_scan(combine, elems, reverse=reverse)
     return jax.lax.associative_scan(combine, elems, axis=0, reverse=reverse)
 
 
-__all__ = ["chunked_scan", "auto_scan", "CHUNKED_SCAN_MIN_T", "_choose_chunk"]
+def scan_dispatch_state():
+    """The knobs this module bakes into any trace that routes through
+    auto_scan — every jit-memo key around the smoothers must include this
+    so flipping a knob retraces instead of reusing a stale program."""
+    return (
+        CHUNKED_SCAN_MIN_T,
+        CHUNK_UNROLL,
+        os.environ.get("PYVBMP_CHUNK_LEN", "0"),
+    )
+
+
+__all__ = [
+    "chunked_scan",
+    "auto_scan",
+    "scan_dispatch_state",
+    "CHUNKED_SCAN_MIN_T",
+    "_choose_chunk",
+]

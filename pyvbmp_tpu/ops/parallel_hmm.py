@@ -217,11 +217,11 @@ def forward_backward_parallel(trans_logits, init_logits, obs_logits, ptemp=1.0,
             for l in jax.tree_util.tree_leaves(t)
         )
     ):
-        from .parallel_kalman import _dispatch_state
+        from .chunked_scan import scan_dispatch_state
 
-        return _jit_fb(float(ptemp), lane_form, plane_form, _dispatch_state())(
-            *args
-        )
+        return _jit_fb(
+            float(ptemp), lane_form, plane_form, scan_dispatch_state()
+        )(*args)
     return _fb_impl(*args, ptemp, lane_form, plane_form)
 
 

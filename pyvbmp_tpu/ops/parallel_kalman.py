@@ -580,18 +580,14 @@ def _smoother_impl(parms, x0, like, u, lane_form, plane_form):
 
 
 def _dispatch_state():
-    """Module/env knobs baked into a trace: part of every memo key, so
-    flipping a knob (tests, tuning) retraces instead of silently reusing a
-    program traced under the old setting."""
-    import pyvbmp_tpu.ops.parallel_kalman as _pk
-    from . import chunked_scan as _cs
+    """Module/env knobs baked into a Kalman-smoother trace: part of every
+    memo key, so flipping a knob (tests, tuning) retraces instead of
+    silently reusing a program traced under the old setting. The chunked
+    knobs live in ops.chunked_scan; this adds the Kalman-only scan dtype
+    (module global read at call time — monkeypatches visible)."""
+    from .chunked_scan import scan_dispatch_state
 
-    return (
-        _pk.SCAN_ELEM_DTYPE,
-        _cs.CHUNKED_SCAN_MIN_T,
-        _cs.CHUNK_UNROLL,
-        os.environ.get("PYVBMP_CHUNK_LEN", "0"),
-    )
+    return (SCAN_ELEM_DTYPE,) + scan_dispatch_state()
 
 
 @functools.lru_cache(maxsize=None)

@@ -172,18 +172,11 @@ def time_sharded_forward_backward(trans_logits, init_logits, obs_logits, mesh,
     elif obs_logits.ndim <= 2:
         batch_axis = None  # no batch dim to shard
 
-    return _jit_fb(mesh, float(ptemp), time_axis, batch_axis, _pk_dispatch_state())(
+    from ..ops.chunked_scan import scan_dispatch_state
+
+    return _jit_fb(mesh, float(ptemp), time_axis, batch_axis, scan_dispatch_state())(
         trans_logits, init_logits, obs_logits
     )
-
-
-def _pk_dispatch_state():
-    """Scan-dispatch knobs baked into shard_map traces (see
-    parallel_kalman._dispatch_state): memo keys must include them so flipping
-    a knob retraces."""
-    from ..ops.parallel_kalman import _dispatch_state
-
-    return _dispatch_state()
 
 
 @functools.lru_cache(maxsize=None)
@@ -278,7 +271,9 @@ def time_sharded_driven_forward_backward(trans_logits, init_logits, obs_logits,
     elif obs_logits.ndim <= 2:
         batch_axis = None  # no batch dim to shard
 
-    return _jit_driven_fb(mesh, float(ptemp), time_axis, batch_axis, _pk_dispatch_state())(
+    from ..ops.chunked_scan import scan_dispatch_state
+
+    return _jit_driven_fb(mesh, float(ptemp), time_axis, batch_axis, scan_dispatch_state())(
         trans_logits, init_logits, obs_logits
     )
 
@@ -377,7 +372,7 @@ def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq",
         batch_axis = None  # (h, h) only: no batch dim to shard
 
     Sigma, mu, Js, hs, Sigma_cross_all, Sigma_x0_x0, mu_x0, logZ_total = _jit_kalman(
-        mesh, time_axis, batch_axis, hdim, _pk_dispatch_state()
+        mesh, time_axis, batch_axis, hdim, _kalman_dispatch_state()
     )(*elems)
     return (
         (Sigma, mu, Js, hs),
@@ -387,6 +382,13 @@ def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq",
         mu_x0,
         logZ_total,
     )
+
+
+def _kalman_dispatch_state():
+    # Kalman programs additionally key on the scan-element dtype
+    from ..ops.parallel_kalman import _dispatch_state
+
+    return _dispatch_state()
 
 
 @functools.lru_cache(maxsize=None)

@@ -44,7 +44,7 @@ def test_pytree_and_swapped_operand_reverse():
         np.testing.assert_allclose(np.asarray(r), np.asarray(g), atol=2e-5)
 
 
-def _kalman_once(T=96, h=2, plane=False):
+def _kalman_once(T=96, h=2, plane=False, lane=False):
     rng.seed(0)
     lds = LinearDynamicalSystems((3,), h, 0, 0, parallel_scan=True)
     y = jax.random.normal(jax.random.key(2), (T, 4, 3))
@@ -55,7 +55,7 @@ def _kalman_once(T=96, h=2, plane=False):
 
     return jax.jit(
         lambda: parallel_kalman_smoother(
-            parms, lds.x0, like, uv, lane_form=False, plane_form=plane
+            parms, lds.x0, like, uv, lane_form=lane, plane_form=plane
         )
     )()
 
@@ -113,3 +113,54 @@ def test_bf16_scan_storage_close_to_f32(monkeypatch):
         denom = float(jnp.abs(x).max()) + 1e-30
         assert float(jnp.abs(x - z).max()) / denom < 5e-2
         assert np.isfinite(np.asarray(z)).all()
+
+
+def test_kalman_lane_form_chunked_equals_level_scan(monkeypatch):
+    """The lane form's dict/list element pytrees through the chunked scan's
+    (L, C) leading-dim machinery (h<=3 is the lane production range)."""
+    monkeypatch.setattr(cs, "CHUNKED_SCAN_MIN_T", 1)
+    a = _kalman_once(h=2, plane=False, lane=True)
+    monkeypatch.setattr(cs, "CHUNKED_SCAN_MIN_T", 10_000)
+    b = _kalman_once(h=2, plane=False, lane=True)
+    for x, z in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        denom = float(jnp.abs(x).max()) + 1e-30
+        assert float(jnp.abs(x - z).max()) / denom < 3e-5
+
+
+def test_bf16_storage_through_chunked_scan(monkeypatch):
+    """bf16 level storage combined with the chunked path (the production
+    long-context combination: T >= 4096 engages chunked, bf16 is the speed
+    knob on top)."""
+    import pyvbmp_tpu.ops.parallel_kalman as pk
+
+    monkeypatch.setattr(cs, "CHUNKED_SCAN_MIN_T", 1)
+    a = _kalman_once(h=4, plane=True)
+    monkeypatch.setattr(pk, "SCAN_ELEM_DTYPE", "bfloat16")
+    b = _kalman_once(h=4, plane=True)
+    logZ_a, logZ_b = np.asarray(a[-1]), np.asarray(b[-1])
+    assert np.abs(logZ_a - logZ_b).max() / np.abs(logZ_a).max() < 1e-3
+    for x, z in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        assert np.isfinite(np.asarray(z)).all()
+        denom = float(jnp.abs(x).max()) + 1e-30
+        assert float(jnp.abs(x - z).max()) / denom < 5e-2
+
+
+def test_seq_parallel_local_chunked_scan(monkeypatch):
+    """sharded_associative_scan's per-device local scan routes through
+    auto_scan: force the chunked path inside shard_map and check the
+    time-sharded HMM still matches the single-device smoother."""
+    from jax.sharding import Mesh
+    from pyvbmp_tpu.ops.parallel_hmm import forward_backward_parallel
+    from pyvbmp_tpu.parallel.seq_parallel import time_sharded_forward_backward
+
+    monkeypatch.setattr(cs, "CHUNKED_SCAN_MIN_T", 1)
+    rs = np.random.RandomState(5)
+    K, D = 3, 4
+    trans = jnp.asarray(np.log(rs.dirichlet(np.ones(K), K)), jnp.float32)
+    init = jnp.asarray(np.log(rs.dirichlet(np.ones(K))), jnp.float32)
+    obs = jnp.asarray(rs.randn(16 * D, 3, K), jnp.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:D]), axis_names=("seq",))
+    sp = time_sharded_forward_backward(trans, init, obs, mesh)
+    ref = forward_backward_parallel(trans, init, obs)
+    for a, b in zip(ref, sp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
