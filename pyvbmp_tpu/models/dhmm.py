@@ -104,22 +104,9 @@ class dHMM:
 
     def _fb(self):
         """Smoother dispatch: time-sharded > parallel-scan > sequential."""
-        if getattr(self, "time_mesh", None) is not None:
-            from ..parallel.seq_parallel import (
-                time_sharded_driven_forward_backward,
-            )
+        from .hmm import smoother_dispatch
 
-            def fb(trans, init, obs, ptemp):
-                return time_sharded_driven_forward_backward(
-                    trans, init, obs, self.time_mesh, ptemp=ptemp
-                )
-
-            return fb
-        if self.parallel_scan:
-            from ..ops.parallel_hmm import driven_forward_backward_parallel
-
-            return driven_forward_backward_parallel
-        return driven_forward_backward
+        return smoother_dispatch(self, driven=True)
 
     def raw_update_states(self, X, Y):
         fb = self._fb()

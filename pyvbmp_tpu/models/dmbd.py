@@ -316,18 +316,9 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
         px4r = self._px4r(px, r)
         XRY = (px4r, jnp.expand_dims(r, -unsdim), jnp.expand_dims(y, -unsdim))
         logits = om._obs_logits(B, XRY)
-        if getattr(self, "time_mesh", None) is not None:
-            from ..parallel.seq_parallel import time_sharded_forward_backward
+        from .hmm import smoother_dispatch
 
-            def fb(trans, init, lg, ptemp):
-                return time_sharded_forward_backward(
-                    trans, init, lg, self.time_mesh, ptemp=ptemp
-                )
-        elif self.parallel_scan:
-            from ..ops.parallel_hmm import forward_backward_parallel as fb
-        else:
-            from .hmm import forward_backward as fb
-
+        fb = smoother_dispatch(self)
         p, SEzz, SEz0, logZ = fb(
             transition.loggeomean(), initial.loggeomean(), logits, om.ptemp
         )

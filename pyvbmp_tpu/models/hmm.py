@@ -79,6 +79,41 @@ def forward_backward(trans_logits, init_logits, obs_logits, ptemp=1.0):
     return p, SEzz, SEz0, logZ
 
 
+def smoother_dispatch(model, driven=False):
+    """Three-tier forward-backward dispatch shared by HMM, dHMM and DMBD's
+    role chain: time-sharded (``model.time_mesh``) > parallel associative
+    scan (``model.parallel_scan``) > sequential lax.scan. Returns a function
+    ``fb(trans_logits, init_logits, obs_logits, ptemp)``."""
+    if getattr(model, "time_mesh", None) is not None:
+        from ..parallel.seq_parallel import (
+            time_sharded_driven_forward_backward,
+            time_sharded_forward_backward,
+        )
+
+        sharded = (
+            time_sharded_driven_forward_backward
+            if driven
+            else time_sharded_forward_backward
+        )
+
+        def fb(trans, init, obs, ptemp):
+            return sharded(trans, init, obs, model.time_mesh, ptemp=ptemp)
+
+        return fb
+    if getattr(model, "parallel_scan", False):
+        from ..ops.parallel_hmm import (
+            driven_forward_backward_parallel,
+            forward_backward_parallel,
+        )
+
+        return driven_forward_backward_parallel if driven else forward_backward_parallel
+    if driven:
+        from .dhmm import driven_forward_backward
+
+        return driven_forward_backward
+    return forward_backward
+
+
 class HMM:
     """Stateful shell; all heavy work happens in jitted pure functions."""
 
@@ -134,19 +169,7 @@ class HMM:
     # -- pure E-step ----------------------------------------------------------------
     def _estep(self, transition, initial, obs_dist, X):
         logits = self._obs_logits(obs_dist, X)
-        # getattr: subclasses built without running HMM.__init__ predate the
-        # time_mesh attribute
-        if getattr(self, "time_mesh", None) is not None:
-            from ..parallel.seq_parallel import time_sharded_forward_backward
-
-            def fb(trans, init, lg, ptemp):
-                return time_sharded_forward_backward(
-                    trans, init, lg, self.time_mesh, ptemp=ptemp
-                )
-        elif self.parallel_scan:
-            from ..ops.parallel_hmm import forward_backward_parallel as fb
-        else:
-            fb = forward_backward
+        fb = smoother_dispatch(self)
         p, SEzz, SEz0, logZ = fb(
             transition.loggeomean(), initial.loggeomean(), logits, self.ptemp
         )

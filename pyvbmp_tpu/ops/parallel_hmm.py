@@ -129,13 +129,6 @@ def _hmm_lane_core(M, init_logits, ptemp):
 
 
 # ---------------------------------------------------------- plane-form pieces
-def _lse_axis(x, axis):
-    """Stable logsumexp over one axis with the -inf guard."""
-    m = x.max(axis)
-    m = jnp.where(jnp.isfinite(m), m, 0.0)
-    return m + jnp.log(jnp.exp(x - jnp.expand_dims(m, axis)).sum(axis))
-
-
 def _logmatmul_plane(a, b):
     """(log,+) matmul in plane layout (T, K, K, N): one broadcast add + one
     stable reduction, lanes on N."""
@@ -163,19 +156,19 @@ def _hmm_plane_core(M, init_logits, ptemp):
     prefix = auto_scan(_logmatmul_plane, Mp)
     suffix = auto_scan(lambda a, b: _logmatmul_plane(b, a), Mp, reverse=True)
 
-    alpha = _lse_axis(ivec[None, :, None, :] + prefix, -3)  # (T, K, N)
-    logZ = _lse_axis(alpha[-1], 0)  # (N,)
+    alpha = um.stable_logsumexp(ivec[None, :, None, :] + prefix, -3)  # (T, K, N)
+    logZ = um.stable_logsumexp(alpha[-1], 0)  # (N,)
     alpha = alpha - logZ
 
-    beta = _lse_axis(suffix, -2)  # (T, K, N)
+    beta = um.stable_logsumexp(suffix, -2)  # (T, K, N)
     beta_t = jnp.concatenate([beta[1:], jnp.zeros_like(beta[:1])], 0)
 
     smoothed = alpha + beta_t
-    smoothed = smoothed - jnp.expand_dims(_lse_axis(smoothed, -2), -2)
+    smoothed = smoothed - um.stable_logsumexp(smoothed, -2, keepdims=True)
 
     alpha_prev = jnp.concatenate([ivec[None], alpha[:-1]], 0)
     xi = alpha_prev[..., :, None, :] + Mp + beta_t[..., None, :, :]
-    xin = _lse_axis(xi.reshape(T, K * K, N), -2)  # (T, N)
+    xin = um.stable_logsumexp(xi.reshape(T, K * K, N), -2)  # (T, N)
     xi = jnp.exp(xi - xin[..., None, None, :])
 
     mx = smoothed.max(-2)
@@ -291,17 +284,52 @@ def driven_forward_backward_parallel(trans_logits, init_logits, obs_logits, ptem
                                      lane_form=None, plane_form=None):
     """Input-driven variant: per-time transition logits (T,)+...+(K,K) and
     per-time pairwise statistics (reference models/dHMM.py semantics), with
-    the same log-depth scans.  Returns (p, SEzz per-time, SEz0, logZ)."""
+    the same log-depth scans.  Returns (p, SEzz per-time, SEz0, logZ).
+
+    Like forward_backward_parallel, eager calls (the dHMM reference API,
+    models/dhmm.py:124) dispatch through a memoized jitted program instead
+    of op-by-op eager dispatch of the scan levels."""
+    K = trans_logits.shape[-1]
+    if lane_form is None:
+        lane_form = K <= LANE_HMM_MAX_K and plane_form is not True
+    if not lane_form and plane_form is None:
+        plane_form = K <= PLANE_HMM_MAX_K
+    lane_form, plane_form = bool(lane_form), bool(plane_form)
+    args = (trans_logits, init_logits, obs_logits)
+    if not (
+        isinstance(ptemp, jax.core.Tracer)
+        or any(
+            isinstance(l, jax.core.Tracer)
+            for t in args
+            for l in jax.tree_util.tree_leaves(t)
+        )
+    ):
+        from .chunked_scan import scan_dispatch_state
+
+        return _jit_driven(
+            float(ptemp), lane_form, plane_form, scan_dispatch_state()
+        )(*args)
+    return _driven_fb_impl(*args, ptemp, lane_form, plane_form)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_driven(ptemp, lane_form, plane_form, _state):
+    return jax.jit(
+        functools.partial(
+            _driven_fb_impl, ptemp=ptemp, lane_form=lane_form,
+            plane_form=plane_form,
+        )
+    )
+
+
+def _driven_fb_impl(trans_logits, init_logits, obs_logits, ptemp, lane_form,
+                    plane_form):
     T = obs_logits.shape[0]
     M = trans_logits + obs_logits[:, ..., None, :]
 
-    if lane_form is None:
-        lane_form = M.shape[-1] <= LANE_HMM_MAX_K and plane_form is not True
     if lane_form:
         p, xi, SEz0, logZ = _hmm_lane_core(M, init_logits, ptemp)
         return p, xi, SEz0, logZ
-    if plane_form is None:
-        plane_form = M.shape[-1] <= PLANE_HMM_MAX_K
     if plane_form:
         p, xi, SEz0, logZ = _hmm_plane_core(M, init_logits, ptemp)
         return p, xi, SEz0, logZ

@@ -174,13 +174,16 @@ def time_sharded_forward_backward(trans_logits, init_logits, obs_logits, mesh,
 
     from ..ops.chunked_scan import scan_dispatch_state
 
-    return _jit_fb(mesh, float(ptemp), time_axis, batch_axis, scan_dispatch_state())(
-        trans_logits, init_logits, obs_logits
+    # ptemp rides as a runtime operand (replicated): traced values work —
+    # same contract as forward_backward_parallel's inline fallback
+    return _jit_fb(mesh, time_axis, batch_axis, scan_dispatch_state())(
+        trans_logits, init_logits, obs_logits,
+        jnp.asarray(ptemp, obs_logits.dtype),
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_fb(mesh, ptemp, time_axis, batch_axis, _state=None):
+def _jit_fb(mesh, time_axis, batch_axis, _state=None):
     """Jitted shard_map program for time_sharded_forward_backward, memoized
     on the static arguments. An un-jitted shard_map call dispatches the body
     eagerly (order-of-magnitude slower than the compiled program and
@@ -188,7 +191,7 @@ def _jit_fb(mesh, ptemp, time_axis, batch_axis, _state=None):
     compile once per (mesh, statics, shapes)."""
     from jax.sharding import PartitionSpec as P
 
-    def body(trans, init, obs):
+    def body(trans, init, obs, ptemp):
         M = trans + obs[:, ..., None, :]
 
         prefix = sharded_associative_scan(um.logmatmulexp, M, time_axis)
@@ -233,7 +236,7 @@ def _jit_fb(mesh, ptemp, time_axis, batch_axis, _state=None):
     shard = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(), tb),
+        in_specs=(P(), P(), tb, P()),
         out_specs=(tb, b0, b0, b0),
         # the psum/all_gather outputs ARE replicated over time; static
         # inference can't see through the masked-fold/index pattern, so skip
@@ -273,19 +276,20 @@ def time_sharded_driven_forward_backward(trans_logits, init_logits, obs_logits,
 
     from ..ops.chunked_scan import scan_dispatch_state
 
-    return _jit_driven_fb(mesh, float(ptemp), time_axis, batch_axis, scan_dispatch_state())(
-        trans_logits, init_logits, obs_logits
+    return _jit_driven_fb(mesh, time_axis, batch_axis, scan_dispatch_state())(
+        trans_logits, init_logits, obs_logits,
+        jnp.asarray(ptemp, obs_logits.dtype),
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_driven_fb(mesh, ptemp, time_axis, batch_axis, _state=None):
+def _jit_driven_fb(mesh, time_axis, batch_axis, _state=None):
     """Jitted shard_map program for the driven (per-time-transition)
     forward-backward; same structure as _jit_fb with trans sharded over time
     and the pairwise marginals returned per-time instead of time-summed."""
     from jax.sharding import PartitionSpec as P
 
-    def body(trans, init, obs):
+    def body(trans, init, obs, ptemp):
         M = trans + obs[:, ..., None, :]
 
         prefix = sharded_associative_scan(um.logmatmulexp, M, time_axis)
@@ -327,7 +331,7 @@ def _jit_driven_fb(mesh, ptemp, time_axis, batch_axis, _state=None):
     shard = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(tb, P(), tb),
+        in_specs=(tb, P(), tb, P()),
         out_specs=(tb, tb, b0, b0),
         check_vma=False,
     )

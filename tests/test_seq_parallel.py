@@ -232,3 +232,27 @@ def test_lds_fit_with_time_mesh_matches_parallel_scan():
         np.asarray(a.ELBO_save), np.asarray(b.ELBO_save), rtol=2e-5
     )
     np.testing.assert_allclose(np.asarray(a.A.mu), np.asarray(b.A.mu), atol=2e-4)
+
+
+def test_time_sharded_fb_accepts_traced_ptemp():
+    """ptemp rides as a runtime operand of the shard_map program — a traced
+    value must work (the sibling forward_backward_parallel already falls
+    through to its inline impl for traced ptemp)."""
+    from jax.sharding import Mesh
+    from pyvbmp_tpu.parallel.seq_parallel import time_sharded_forward_backward
+
+    rs = np.random.RandomState(11)
+    K, D = 3, 4
+    trans = jnp.asarray(np.log(rs.dirichlet(np.ones(K), K)), jnp.float32)
+    init = jnp.asarray(np.log(rs.dirichlet(np.ones(K))), jnp.float32)
+    obs = jnp.asarray(rs.randn(4 * D, 2, K), jnp.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:D]), axis_names=("seq",))
+
+    @jax.jit
+    def run(pt):
+        return time_sharded_forward_backward(trans, init, obs, mesh, ptemp=pt)
+
+    p1, *_ = run(1.0)
+    p2, *_ = run(2.0)  # same compiled program, different runtime ptemp
+    assert np.isfinite(np.asarray(p1)).all() and np.isfinite(np.asarray(p2)).all()
+    assert not np.allclose(np.asarray(p1), np.asarray(p2))
