@@ -239,11 +239,9 @@ RUNNERS = dict(gmm=run_gmm, hmm=run_hmm, lds=run_lds, mixlds=run_mixlds,
 def main():
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from pyvbmp_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache("/tmp/jax_comp_cache", min_compile_secs=1.0)
 
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "scaling_study.json"

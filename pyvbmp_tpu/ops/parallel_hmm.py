@@ -212,17 +212,19 @@ def forward_backward_parallel(trans_logits, init_logits, obs_logits, ptemp=1.0,
     ):
         from .chunked_scan import scan_dispatch_state
 
-        return _jit_fb(
-            float(ptemp), lane_form, plane_form, scan_dispatch_state()
-        )(*args)
+        # ptemp rides as a runtime operand: annealing reuses one compiled
+        # program instead of retracing (and retaining) one per value
+        return _jit_fb(lane_form, plane_form, scan_dispatch_state())(
+            *args, jnp.asarray(ptemp, obs_logits.dtype)
+        )
     return _fb_impl(*args, ptemp, lane_form, plane_form)
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_fb(ptemp, lane_form, plane_form, _state):
+def _jit_fb(lane_form, plane_form, _state):
     return jax.jit(
         functools.partial(
-            _fb_impl, ptemp=ptemp, lane_form=lane_form, plane_form=plane_form
+            _fb_impl, lane_form=lane_form, plane_form=plane_form
         )
     )
 
@@ -306,18 +308,17 @@ def driven_forward_backward_parallel(trans_logits, init_logits, obs_logits, ptem
     ):
         from .chunked_scan import scan_dispatch_state
 
-        return _jit_driven(
-            float(ptemp), lane_form, plane_form, scan_dispatch_state()
-        )(*args)
+        return _jit_driven(lane_form, plane_form, scan_dispatch_state())(
+            *args, jnp.asarray(ptemp, obs_logits.dtype)
+        )
     return _driven_fb_impl(*args, ptemp, lane_form, plane_form)
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_driven(ptemp, lane_form, plane_form, _state):
+def _jit_driven(lane_form, plane_form, _state):
     return jax.jit(
         functools.partial(
-            _driven_fb_impl, ptemp=ptemp, lane_form=lane_form,
-            plane_form=plane_form,
+            _driven_fb_impl, lane_form=lane_form, plane_form=plane_form,
         )
     )
 

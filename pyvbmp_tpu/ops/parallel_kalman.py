@@ -582,12 +582,21 @@ def _smoother_impl(parms, x0, like, u, lane_form, plane_form):
 def _dispatch_state():
     """Module/env knobs baked into a Kalman-smoother trace: part of every
     memo key, so flipping a knob (tests, tuning) retraces instead of
-    silently reusing a program traced under the old setting. The chunked
-    knobs live in ops.chunked_scan; this adds the Kalman-only scan dtype
-    (module global read at call time — monkeypatches visible)."""
+    silently reusing a program traced under the old setting. Covers the
+    chunked-scan knobs (ops.chunked_scan), the scan-element dtype, and the
+    layout gates of BOTH smoother families (lane/plane thresholds are
+    resolved inside model-level traces too). All module globals are read at
+    call time — monkeypatches visible."""
+    from . import parallel_hmm as ph
     from .chunked_scan import scan_dispatch_state
 
-    return (SCAN_ELEM_DTYPE,) + scan_dispatch_state()
+    return (
+        SCAN_ELEM_DTYPE,
+        LANE_KALMAN_MAX_H,
+        PLANE_KALMAN_MAX_H,
+        ph.LANE_HMM_MAX_K,
+        ph.PLANE_HMM_MAX_K,
+    ) + scan_dispatch_state()
 
 
 @functools.lru_cache(maxsize=None)

@@ -136,6 +136,33 @@ def _batch_axis_of(mesh, time_axis, batch_axis):
     return batch_axis
 
 
+def _resolve_axes(mesh, time_axis, batch_axis, T, batch_size):
+    """Validate T against the time mesh axis and resolve the optional batch
+    axis. ``batch_axis="auto"`` shards the batch dim over the first non-time
+    axis when one exists AND the batch divides evenly — otherwise it falls
+    back to seq-only sharding instead of crashing. An explicitly named
+    batch_axis still raises on indivisibility."""
+    D = mesh.shape[time_axis]
+    if T % D != 0:
+        raise ValueError(
+            f"T={T} must be divisible by the '{time_axis}' mesh axis size "
+            f"{D} for sequence parallelism"
+        )
+    requested = batch_axis
+    batch_axis = _batch_axis_of(mesh, time_axis, batch_axis)
+    if batch_axis is None or batch_size is None:
+        return None
+    Db = mesh.shape[batch_axis]
+    if batch_size % Db != 0:
+        if requested == "auto":
+            return None
+        raise ValueError(
+            f"batch={batch_size} must be divisible by the '{batch_axis}' "
+            f"mesh axis size {Db}"
+        )
+    return batch_axis
+
+
 def time_sharded_forward_backward(trans_logits, init_logits, obs_logits, mesh,
                                   ptemp=1.0, time_axis="seq",
                                   batch_axis="auto"):
@@ -155,22 +182,10 @@ def time_sharded_forward_backward(trans_logits, init_logits, obs_logits, mesh,
     """
     from jax.sharding import PartitionSpec as P
 
-    D = mesh.shape[time_axis]
-    if obs_logits.shape[0] % D != 0:
-        raise ValueError(
-            f"T={obs_logits.shape[0]} must be divisible by the '{time_axis}' "
-            f"mesh axis size {D} for sequence parallelism"
-        )
-    batch_axis = _batch_axis_of(mesh, time_axis, batch_axis)
-    if batch_axis is not None and obs_logits.ndim > 2:
-        Db = mesh.shape[batch_axis]
-        if obs_logits.shape[1] % Db != 0:
-            raise ValueError(
-                f"batch={obs_logits.shape[1]} must be divisible by the "
-                f"'{batch_axis}' mesh axis size {Db}"
-            )
-    elif obs_logits.ndim <= 2:
-        batch_axis = None  # no batch dim to shard
+    batch_axis = _resolve_axes(
+        mesh, time_axis, batch_axis, obs_logits.shape[0],
+        obs_logits.shape[1] if obs_logits.ndim > 2 else None,
+    )
 
     from ..ops.chunked_scan import scan_dispatch_state
 
@@ -257,22 +272,10 @@ def time_sharded_driven_forward_backward(trans_logits, init_logits, obs_logits,
     trans_logits: (T,) + batch + (K, K), obs_logits: (T,) + batch + (K,).
     T must divide by the mesh axis size.
     """
-    D = mesh.shape[time_axis]
-    if obs_logits.shape[0] % D != 0:
-        raise ValueError(
-            f"T={obs_logits.shape[0]} must be divisible by the '{time_axis}' "
-            f"mesh axis size {D} for sequence parallelism"
-        )
-    batch_axis = _batch_axis_of(mesh, time_axis, batch_axis)
-    if batch_axis is not None and obs_logits.ndim > 2:
-        Db = mesh.shape[batch_axis]
-        if obs_logits.shape[1] % Db != 0:
-            raise ValueError(
-                f"batch={obs_logits.shape[1]} must be divisible by the "
-                f"'{batch_axis}' mesh axis size {Db}"
-            )
-    elif obs_logits.ndim <= 2:
-        batch_axis = None  # no batch dim to shard
+    batch_axis = _resolve_axes(
+        mesh, time_axis, batch_axis, obs_logits.shape[0],
+        obs_logits.shape[1] if obs_logits.ndim > 2 else None,
+    )
 
     from ..ops.chunked_scan import scan_dispatch_state
 
@@ -355,29 +358,25 @@ def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq",
     element arrays) — combined sequence + data parallelism with no extra
     collectives (the combine is batch-elementwise).
     """
-    from ..ops.parallel_kalman import _build_elements
+    import numpy as _np
 
-    D = mesh.shape[time_axis]
-    if like[0].shape[0] % D != 0:
-        raise ValueError(
-            f"T={like[0].shape[0]} must be divisible by the '{time_axis}' "
-            f"mesh axis size {D} for sequence parallelism"
-        )
-    elems, bshape, T, hdim = _build_elements(parms, x0, like, u)
-    batch_axis = _batch_axis_of(mesh, time_axis, batch_axis)
-    if batch_axis is not None and len(bshape) > 2:
-        Db = mesh.shape[batch_axis]
-        if bshape[0] % Db != 0:
-            raise ValueError(
-                f"batch={bshape[0]} must be divisible by the "
-                f"'{batch_axis}' mesh axis size {Db}"
-            )
-    elif len(bshape) <= 2:
-        batch_axis = None  # (h, h) only: no batch dim to shard
+    # element batch shape by pure shape math (the elements themselves are
+    # built INSIDE the jitted program so eager calls don't pay per-op
+    # dispatch for the ~20-op construction graph)
+    invQ = parms["invQ"]
+    nb = like[0].ndim - 1
+    bshape = _np.broadcast_shapes(
+        invQ.shape[max(0, invQ.ndim - nb):], like[0].shape[1:]
+    )
+    hdim = invQ.shape[-1]
+    batch_axis = _resolve_axes(
+        mesh, time_axis, batch_axis, like[0].shape[0],
+        bshape[0] if len(bshape) > 2 else None,
+    )
 
     Sigma, mu, Js, hs, Sigma_cross_all, Sigma_x0_x0, mu_x0, logZ_total = _jit_kalman(
         mesh, time_axis, batch_axis, hdim, _kalman_dispatch_state()
-    )(*elems)
+    )(parms, x0, like, u)
     return (
         (Sigma, mu, Js, hs),
         Sigma_cross_all[1:],
@@ -389,7 +388,9 @@ def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq",
 
 
 def _kalman_dispatch_state():
-    # Kalman programs additionally key on the scan-element dtype
+    """Kalman memo key: the full scan-dispatch state including the
+    Kalman-only scan-element dtype (parallel_kalman._dispatch_state); the
+    HMM wrappers above key on the chunked-scan state alone."""
     from ..ops.parallel_kalman import _dispatch_state
 
     return _dispatch_state()
@@ -464,4 +465,13 @@ def _jit_kalman(mesh, time_axis, batch_axis, hdim, _state=None):
         out_specs=(sh, sh, sh, sh, sh, b0, b0, b0),
         check_vma=False,
     )
-    return jax.jit(shard)
+
+    def entry(parms, x0, like, u):
+        # element construction lives inside the jitted program: eager
+        # callers would otherwise pay per-op dispatch for its ~20-op graph
+        from ..ops.parallel_kalman import _build_elements
+
+        elems, _bshape, _T, _h = _build_elements(parms, x0, like, u)
+        return shard(*elems)
+
+    return jax.jit(entry)

@@ -256,3 +256,30 @@ def test_time_sharded_fb_accepts_traced_ptemp():
     p2, *_ = run(2.0)  # same compiled program, different runtime ptemp
     assert np.isfinite(np.asarray(p1)).all() and np.isfinite(np.asarray(p2)).all()
     assert not np.allclose(np.asarray(p1), np.asarray(p2))
+
+
+def test_auto_batch_axis_falls_back_when_indivisible():
+    import pytest
+    """'auto' batch sharding on a 2D mesh must fall back to seq-only
+    sharding when the batch doesn't divide the data axis, not crash
+    (confirmed-crash review finding); an explicit batch_axis still raises."""
+    from jax.sharding import Mesh
+    from pyvbmp_tpu.dists import NormalInverseWishart
+    from pyvbmp_tpu.models import HMM
+    from pyvbmp_tpu.parallel.seq_parallel import time_sharded_forward_backward
+    from pyvbmp_tpu.utils import rng
+
+    rng.seed(0)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("seq", "data"))
+    m = HMM(NormalInverseWishart.create((2,), batch_shape=(4,)), time_mesh=mesh)
+    X = jnp.asarray(np.random.RandomState(0).randn(16, 3, 2), jnp.float32)  # batch=3
+    m.update(X, iters=2)
+    assert np.isfinite(np.asarray(m.ELBO_save)).all()
+
+    rs = np.random.RandomState(1)
+    K = 3
+    trans = jnp.asarray(np.log(rs.dirichlet(np.ones(K), K)), jnp.float32)
+    init = jnp.asarray(np.log(rs.dirichlet(np.ones(K))), jnp.float32)
+    obs = jnp.asarray(rs.randn(16, 3, K), jnp.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        time_sharded_forward_backward(trans, init, obs, mesh, batch_axis="data")
