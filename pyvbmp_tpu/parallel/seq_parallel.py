@@ -198,12 +198,16 @@ def time_sharded_forward_backward(trans_logits, init_logits, obs_logits, mesh,
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_fb(mesh, time_axis, batch_axis, _state=None):
-    """Jitted shard_map program for time_sharded_forward_backward, memoized
-    on the static arguments. An un-jitted shard_map call dispatches the body
-    eagerly (order-of-magnitude slower than the compiled program and
-    re-traced every call); the cache makes eager wrapper use pay trace +
-    compile once per (mesh, statics, shapes)."""
+def _jit_fb(mesh, time_axis, batch_axis, _state=None, per_time_xi=False):
+    """Jitted shard_map program for the time-sharded forward-backward,
+    memoized on the static arguments. An un-jitted shard_map call dispatches
+    the body eagerly (order-of-magnitude slower than the compiled program
+    and re-traced every call); the cache makes eager wrapper use pay trace +
+    compile once per (mesh, statics, shapes).
+
+    ``per_time_xi=True`` is the driven (per-time-transition) variant: trans
+    is (T,)-leading and sharded over time, and the pairwise marginals come
+    back per-time instead of time-summed (models/dhmm.py semantics)."""
     from jax.sharding import PartitionSpec as P
 
     def body(trans, init, obs, ptemp):
@@ -237,7 +241,7 @@ def _jit_fb(mesh, time_axis, batch_axis, _state=None):
         idx = jax.lax.axis_index(time_axis)
         SEz0_local = jnp.where(idx == 0, xi[0].sum(-1), jnp.zeros_like(xi[0].sum(-1)))
         SEz0 = jax.lax.psum(SEz0_local, time_axis)
-        SEzz = jax.lax.psum(xi.sum(0), time_axis)
+        SEzz = xi if per_time_xi else jax.lax.psum(xi.sum(0), time_axis)
 
         p = jnp.exp((smoothed - smoothed.max(-1, keepdims=True)) / ptemp)
         p = p / p.sum(-1, keepdims=True)
@@ -251,8 +255,8 @@ def _jit_fb(mesh, time_axis, batch_axis, _state=None):
     shard = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(), tb, P()),
-        out_specs=(tb, b0, b0, b0),
+        in_specs=(tb if per_time_xi else P(), P(), tb, P()),
+        out_specs=(tb, tb if per_time_xi else b0, b0, b0),
         # the psum/all_gather outputs ARE replicated over time; static
         # inference can't see through the masked-fold/index pattern, so skip
         # the check
@@ -279,66 +283,11 @@ def time_sharded_driven_forward_backward(trans_logits, init_logits, obs_logits,
 
     from ..ops.chunked_scan import scan_dispatch_state
 
-    return _jit_driven_fb(mesh, time_axis, batch_axis, scan_dispatch_state())(
+    return _jit_fb(mesh, time_axis, batch_axis, scan_dispatch_state(),
+                   per_time_xi=True)(
         trans_logits, init_logits, obs_logits,
         jnp.asarray(ptemp, obs_logits.dtype),
     )
-
-
-@functools.lru_cache(maxsize=None)
-def _jit_driven_fb(mesh, time_axis, batch_axis, _state=None):
-    """Jitted shard_map program for the driven (per-time-transition)
-    forward-backward; same structure as _jit_fb with trans sharded over time
-    and the pairwise marginals returned per-time instead of time-summed."""
-    from jax.sharding import PartitionSpec as P
-
-    def body(trans, init, obs, ptemp):
-        M = trans + obs[:, ..., None, :]
-
-        prefix = sharded_associative_scan(um.logmatmulexp, M, time_axis)
-        suffix = sharded_associative_scan(
-            um.logmatmulexp, M, time_axis, reverse=True
-        )
-
-        alpha = um.stable_logsumexp(init[..., :, None] + prefix, -2)
-        last_rows = jax.lax.all_gather(alpha[-1], time_axis)
-        logZ = um.stable_logsumexp(last_rows[-1], -1, keepdims=True)
-        alpha = alpha - logZ
-        logZ = logZ[..., 0]
-
-        beta = um.stable_logsumexp(suffix, -1)
-        beta_t = shift_up(beta, time_axis, fill=0.0)
-
-        smoothed = alpha + beta_t
-        smoothed = smoothed - um.stable_logsumexp(smoothed, -1, keepdims=True)
-
-        init_row = jnp.broadcast_to(init, alpha.shape[1:])
-        alpha_prev = shift_down(alpha, time_axis, init_row)
-        xi = alpha_prev[..., :, None] + M + beta_t[..., None, :]
-        SEzz = jnp.exp(xi - um.stable_logsumexp(xi, (-1, -2), keepdims=True))
-        idx = jax.lax.axis_index(time_axis)
-        SEz0_local = jnp.where(
-            idx == 0, SEzz[0].sum(-1), jnp.zeros_like(SEzz[0].sum(-1))
-        )
-        SEz0 = jax.lax.psum(SEz0_local, time_axis)
-
-        p = jnp.exp((smoothed - smoothed.max(-1, keepdims=True)) / ptemp)
-        p = p / p.sum(-1, keepdims=True)
-        return p, SEzz, SEz0, logZ
-
-    if batch_axis is not None:
-        tb = P(time_axis, batch_axis)
-        b0 = P(batch_axis)
-    else:
-        tb, b0 = P(time_axis), P()
-    shard = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(tb, P(), tb, P()),
-        out_specs=(tb, tb, b0, b0),
-        check_vma=False,
-    )
-    return jax.jit(shard)
 
 
 def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq",
