@@ -62,8 +62,11 @@ def bench_ours(cfg, data):
     fused = cfg["iters"] * 3
     for rep in range(3):  # rep 0 compiles; report the fastest warm run
         t0 = time.perf_counter()
+        # update() ends with a host fetch of the full ELBO trajectory
+        # (np.asarray inside _update_reshaped), which forces completion of the
+        # whole fused scan on axon; a second fetch here would add a redundant
+        # ~28 ms tunnel round-trip (measured round 4).
         model.update(y, iters=fused)
-        np.asarray(model.logZ)  # host fetch forces completion on axon
         dt = time.perf_counter() - t0
         print(
             '{"bench_rep": %d, "seconds": %.3f}' % (rep, dt),

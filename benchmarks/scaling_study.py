@@ -29,9 +29,15 @@ PEAK_FLOPS = 197e12  # v5e bf16 MXU peak
 PEAK_BYTES = 819e9  # v5e HBM bandwidth
 
 
-def _sync(x):
-    # axon gotcha: block_until_ready does not reliably block; force host fetch
-    return float(np.asarray(x).sum())
+# Fixed per-call cost on the axon frontend (measured round 4): one host->
+# device->host round trip is ~28-45 ms regardless of the work dispatched, so
+# per-call it/s at small fused iteration counts measures the tunnel, not the
+# chip.  We therefore report BOTH: per-call it/s at the canonical iteration
+# count (what a user sees per update() call here) and the device-throughput
+# slope between two fused counts (what the chip actually sustains; the number
+# a locally-attached deployment would see, and the one roofline percentages
+# are computed from).
+SLOPE_MULT = 5
 
 
 def _cost(jitfn, args, static=None):
@@ -50,14 +56,25 @@ def _cost(jitfn, args, static=None):
 
 
 def _time_fit(fit, iters, reps=3):
-    best = float("inf")
-    for rep in range(reps):
-        t0 = time.perf_counter()
-        fit()
-        dt = time.perf_counter() - t0
-        if rep > 0:  # rep 0 pays the compile
-            best = min(best, dt)
-    return iters / best
+    """fit(n) runs one update() call with n fused VB iterations (the call's
+    own trailing ELBO host-fetch is the sync; no extra fetch).  Returns
+    (per-call it/s at ``iters``, device it/s from the slope to
+    ``iters * SLOPE_MULT``)."""
+
+    def best_of(n):
+        best = float("inf")
+        for rep in range(reps):
+            t0 = time.perf_counter()
+            fit(n)
+            dt = time.perf_counter() - t0
+            if rep > 0:  # rep 0 pays the compile
+                best = min(best, dt)
+        return best
+
+    t1 = best_of(iters)
+    t2 = best_of(iters * SLOPE_MULT)
+    slope = (t2 - t1) / (iters * (SLOPE_MULT - 1))
+    return iters / t1, (1.0 / slope if slope > 0 else float("inf"))
 
 
 # ---------------------------------------------------------------- generators
@@ -104,10 +121,10 @@ def run_gmm(cfg, iters):
     rng.seed(0)
     y = jnp.asarray(gmm_data(cfg["n"], cfg["d"], cfg["K"]))
     m = GaussianMixtureModel(cfg["K"], cfg["d"])
-    ips = _time_fit(lambda: (m.update(y, iters=iters), _sync(m.logZ)), iters)
+    ips, dev = _time_fit(lambda n: m.update(y, iters=n), iters)
     fn = _mixture_multi_jit(type(m.dist), m.event_dim, m.batch_dim)
     fl, by = _cost(fn, (m.pi, m.dist, m._reshape_data(y), 1.0, iters))
-    return ips, fl / iters, by / iters
+    return ips, dev, fl / iters, by / iters
 
 
 def run_hmm(cfg, iters):
@@ -120,14 +137,14 @@ def run_hmm(cfg, iters):
     rng.seed(0)
     y = jnp.asarray(hmm_data(cfg["T"], cfg["b"], cfg["K"], cfg["d"]))
     m = HMM(NormalInverseWishart.create((cfg["d"],), batch_shape=(cfg["K"],)))
-    ips = _time_fit(lambda: (m.update(y, iters=iters), _sync(m.logZ)), iters)
+    ips, dev = _time_fit(lambda n: m.update(y, iters=n), iters)
     fn = jax.jit(m._vb_multi, static_argnames=("beta", "iters"))
     fl, by = _cost(
         fn,
         (m.transition, m.initial, m.obs_dist, y, 1.0),
         {"beta": None, "iters": iters},
     )
-    return ips, fl / iters, by / iters
+    return ips, dev, fl / iters, by / iters
 
 
 def run_lds(cfg, iters):
@@ -139,13 +156,13 @@ def run_lds(cfg, iters):
     rng.seed(0)
     y = jnp.asarray(lds_data(cfg["T"], cfg["b"], cfg["o"], cfg["h"]))
     m = LinearDynamicalSystems((cfg["o"],), cfg["h"], parallel_scan=True)
-    ips = _time_fit(lambda: (m.update(y, iters=iters), _sync(m.logZ)), iters)
+    ips, dev = _time_fit(lambda n: m.update(y, iters=n), iters)
     yv, uv, rv = m.reshape_inputs(y)
     fn = jax.jit(m._vb_multi, static_argnames=("iters",))
     fl, by = _cost(
         fn, (m.x0, m.A, m.obs_model, yv, uv, rv, 1.0), {"iters": iters}
     )
-    return ips, fl / iters, by / iters
+    return ips, dev, fl / iters, by / iters
 
 
 def run_mixlds(cfg, iters):
@@ -161,9 +178,7 @@ def run_mixlds(cfg, iters):
     m = MixtureofLinearDynamicalSystems(
         cfg["K"], (cfg["o"],), cfg["h"], 0, 0, parallel_scan=True
     )
-    ips = _time_fit(
-        lambda: (m.update(y, iters=iters), _sync(m.logZ)), iters
-    )
+    ips, dev = _time_fit(lambda n: m.update(y, iters=n), iters)
     yv, uv, rv = m.lds.reshape_inputs(y)
     fn = jax.jit(m._vb_multi, static_argnames=("iters",))
     fl, by = _cost(
@@ -171,7 +186,7 @@ def run_mixlds(cfg, iters):
         (m.lds.x0, m.lds.A, m.lds.obs_model, m.pi, yv, uv, rv, 1.0),
         {"iters": iters},
     )
-    return ips, fl / iters, by / iters
+    return ips, dev, fl / iters, by / iters
 
 
 def run_dmbd(cfg, iters):
@@ -191,7 +206,7 @@ def run_dmbd(cfg, iters):
         obs_shape=(3, 2), role_dims=(1, 2, 1), hidden_dims=(2, 2, 2),
         parallel_scan=True,
     )
-    ips = _time_fit(lambda: (m.update(y, iters=iters), _sync(m.logZ)), iters)
+    ips, dev = _time_fit(lambda n: m.update(y, iters=n), iters)
     yv, uv, rv = m.reshape_inputs(y)
     px0 = m._init_px(rv)
     fn = jax.jit(m._dmbd_multi, static_argnames=("latent_iters", "iters"))
@@ -206,7 +221,7 @@ def run_dmbd(cfg, iters):
         ),
         {"latent_iters": 1, "iters": iters},
     )
-    return ips, fl / iters, by / iters
+    return ips, dev, fl / iters, by / iters
 
 
 SWEEP = [
@@ -251,7 +266,7 @@ def main():
         iters = 30 if fam in ("gmm", "hmm", "lds") else 25
         t0 = time.perf_counter()
         try:
-            ips, fl, by = RUNNERS[fam](cfg, iters)
+            ips, dev, fl, by = RUNNERS[fam](cfg, iters)
         except Exception as e:
             print(f"{fam} {cfg} FAILED: {e!r}", file=sys.stderr)
             continue
@@ -259,12 +274,14 @@ def main():
             family=fam,
             config=cfg,
             iters_per_sec=round(ips, 2),
+            device_iters_per_sec=round(dev, 2),
+            device_ms_per_iter=round(1e3 / dev, 4) if dev > 0 else None,
             flops_per_iter=fl,
             bytes_per_iter=by,
-            gflops_per_sec=round(ips * fl / 1e9, 2) if fl == fl else None,
-            gbytes_per_sec=round(ips * by / 1e9, 2) if by == by else None,
-            pct_peak_flops=round(100 * ips * fl / PEAK_FLOPS, 4) if fl == fl else None,
-            pct_peak_bw=round(100 * ips * by / PEAK_BYTES, 2) if by == by else None,
+            gflops_per_sec=round(dev * fl / 1e9, 2) if fl == fl else None,
+            gbytes_per_sec=round(dev * by / 1e9, 2) if by == by else None,
+            pct_peak_flops=round(100 * dev * fl / PEAK_FLOPS, 4) if fl == fl else None,
+            pct_peak_bw=round(100 * dev * by / PEAK_BYTES, 2) if by == by else None,
             wall_s=round(time.perf_counter() - t0, 1),
         )
         results.append(rec)
