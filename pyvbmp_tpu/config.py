@@ -27,3 +27,20 @@ def default_dtype():
     import jax.numpy as jnp
 
     return jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+
+
+def clear_jit_memos() -> None:
+    """Drop every memoized jitted smoother/shard_map program.
+
+    The hot-path jit memos (ops.parallel_kalman, ops.parallel_hmm,
+    parallel.seq_parallel) are unbounded lru_caches keyed on the
+    PYVBMP_* dispatch knobs; a tuning harness that sweeps knobs
+    accumulates one compiled program per combination for the process
+    lifetime.  Call this between sweep points to release them."""
+    from .ops import parallel_hmm, parallel_kalman
+    from .parallel import seq_parallel
+
+    for mod in (parallel_hmm, parallel_kalman, seq_parallel):
+        for obj in vars(mod).values():
+            if callable(obj) and hasattr(obj, "cache_clear"):
+                obj.cache_clear()

@@ -63,6 +63,8 @@ class Mixture:
         self.dist = self.dist.raw_update(self._reshape_data(X), self.p, lr)
 
     def update(self, X, iters=1, lr=1.0, verbose=False):
+        if iters < 1:
+            raise ValueError(f"iters must be >= 1, got {iters}")
         Xv = self._reshape_data(X)
         if iters == 1:
             step = _mixture_step_jit(type(self.dist), self.event_dim, self.batch_dim)

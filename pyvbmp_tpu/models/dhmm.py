@@ -188,6 +188,8 @@ class dHMM:
         return beta, initial, obs_dist, p, NA, sumlogZ, ELBOs
 
     def raw_update(self, X, Y, iters=1, lr=1.0, verbose=False):
+        if iters < 1:
+            raise ValueError(f"iters must be >= 1, got {iters}")
         import numpy as np
 
         Y = Y[..., None, :]

@@ -260,6 +260,8 @@ class HMM:
         return transition, initial, obs_dist, (p, NA, logZ), ELBOs
 
     def update(self, X, iters=1, T=None, lr=1.0, beta=None, verbose=False):
+        if iters < 1:
+            raise ValueError(f"iters must be >= 1, got {iters}")
         if iters == 1:
             fn = self._jitted("vb_step", self._vb_step, static_argnames=("beta",))
             (

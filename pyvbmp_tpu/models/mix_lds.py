@@ -78,6 +78,8 @@ class MixtureofLinearDynamicalSystems:
         return x0, A, obs_model, pi, p, logZ, ELBOs
 
     def update(self, y, u=None, r=None, iters=1, lr=1.0, verbose=False):
+        if iters < 1:
+            raise ValueError(f"iters must be >= 1, got {iters}")
         y, u, r = self.lds.reshape_inputs(y, u, r)
         # key on smoother flags: they're baked into the trace (see lds._jitted)
         from ..ops.parallel_kalman import _dispatch_state

@@ -295,6 +295,8 @@ class NonLinearDynamicalSystems:
     # ------------------------------------------------------------- reference API
     def update(self, y, iters=1, lr=1.0, verbose=False):
         """y: (T, batch, obs_dim) or (T, batch, obs_dim, 1)."""
+        if iters < 1:
+            raise ValueError(f"iters must be >= 1, got {iters}")
         if y.ndim == 3:
             y = y[..., None]
         T, b = y.shape[:2]

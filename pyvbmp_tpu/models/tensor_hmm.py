@@ -196,6 +196,8 @@ class Tensor_HMM:
         return transition, initial, obs_dist, p, NA, logZ, ELBOs
 
     def update(self, X, iters=1, T=None, lr=1.0, beta=None, verbose=False):
+        if iters < 1:
+            raise ValueError(f"iters must be >= 1, got {iters}")
         import numpy as np
 
         # key on ptemp: it is baked into the trace (see hmm._jitted)

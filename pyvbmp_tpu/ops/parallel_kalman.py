@@ -102,21 +102,29 @@ def _scan_pair(combine, elems):
     return _dequantize_elems(prefix), _dequantize_elems(suffix)
 
 
+def element_batch_shape(parms, like):
+    """Shape-only companion to ``_build_elements``: the broadcast batch
+    shape of the (T,)+bshape pairwise-potential elements and the hidden
+    dim.  Kept here so sharding-decision code (parallel/seq_parallel.py)
+    and the element builder can never desynchronize on the broadcast
+    rule.  parms may be time-varying (leading T axis): only trailing
+    batch+(h,h) dims participate."""
+    invQ = parms["invQ"]
+    nb = like[0].ndim - 1
+    bshape = jnp.broadcast_shapes(
+        invQ.shape[max(0, invQ.ndim - nb):], like[0].shape[1:]
+    )
+    return bshape, invQ.shape[-1]
+
+
 def _build_elements(parms, x0, like, u):
     """Dense pairwise potentials (Jaa, Jab, Jbb, ha, hb, logw), broadcast to
     (T,) + bshape, with the x_{-1} prior folded into element 0 (the
     reference's x0 carry, LinearDynamicalSystems.py:350-356)."""
     iS_like, iSm_like, Res_like = like
     T = iS_like.shape[0]
-    hdim = parms["invQ"].shape[-1]
     invQ = parms["invQ"]
-
-    # parms may be time-varying (leading T axis, e.g. switching-LDS mixtures):
-    # only their trailing batch+(h,h) dims participate in the element shape
-    nb = iS_like.ndim - 1
-    bshape = jnp.broadcast_shapes(
-        invQ.shape[max(0, invQ.ndim - nb):], iS_like.shape[1:]
-    )
+    bshape, hdim = element_batch_shape(parms, like)
 
     def bcast(x, shape):
         return jnp.broadcast_to(x, (T,) + shape)

@@ -21,6 +21,7 @@ checked in tests/test_seq_parallel.py on the 8-virtual-device CPU mesh.
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -36,13 +37,57 @@ def _tree_where(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-def sharded_associative_scan(fn, elems, axis_name, reverse=False):
+def _lift_rank(v, x):
+    """Broadcast a (time,)-shaped (or scalar) mask against a (time,)+batch
+    leaf by appending singleton dims."""
+    return v.reshape(v.shape + (1,) * (x.ndim - v.ndim))
+
+
+def _masked_combine(fn):
+    """Adjoin an identity to an arbitrary semigroup via validity flags (the
+    standard monoid completion): elements become (value, valid) and invalid
+    elements act as the identity.  Associative whenever ``fn`` is.  This is
+    what lets an indivisible T be padded with duplicate-last elements that
+    are *exactly* inert in both scan directions."""
+
+    def g(a, b):
+        e1, v1 = a
+        e2, v2 = b
+        fe = fn(e1, e2)
+        both = v1 & v2
+        out = jax.tree.map(
+            lambda x, y, f: jnp.where(
+                _lift_rank(both, f), f, jnp.where(_lift_rank(v1, f), x, y)
+            ),
+            e1,
+            e2,
+            fe,
+        )
+        return out, v1 | v2
+
+    return g
+
+
+def sharded_associative_scan(fn, elems, axis_name, reverse=False, valid=None):
     """``jax.lax.associative_scan(fn, elems, axis=0)`` with axis 0 sharded
     over ``axis_name``. Call inside shard_map; ``elems`` hold the LOCAL time
     chunk. Returns the local chunk of the global inclusive scan.
 
     ``fn`` must be associative; no identity element is required.
+
+    ``valid`` (optional): a (T_local,) bool array marking real rows; rows
+    with ``valid=False`` behave as the identity element (monoid completion)
+    — used to pad an indivisible global T up to the mesh axis size.
     """
+    if valid is not None:
+        tree, mfn = (elems, valid), _masked_combine(fn)
+        if reverse:
+            flipped = jax.tree.map(lambda a: jnp.flip(a, 0), tree)
+            out = _sharded_prefix(
+                lambda a, b: mfn(b, a), flipped, axis_name, flip_axis=True
+            )
+            return jax.tree.map(lambda a: jnp.flip(a, 0), out)[0]
+        return _sharded_prefix(mfn, tree, axis_name, flip_axis=False)[0]
     if reverse:
         # suffix scan = prefix scan on the time-reversed chain with flipped
         # operands; recurse through the forward implementation.
@@ -137,30 +182,54 @@ def _batch_axis_of(mesh, time_axis, batch_axis):
 
 
 def _resolve_axes(mesh, time_axis, batch_axis, T, batch_size):
-    """Validate T against the time mesh axis and resolve the optional batch
-    axis. ``batch_axis="auto"`` shards the batch dim over the first non-time
-    axis when one exists AND the batch divides evenly — otherwise it falls
-    back to seq-only sharding instead of crashing. An explicitly named
-    batch_axis still raises on indivisibility."""
+    """Resolve the padding of T against the time mesh axis and the optional
+    batch axis.  Returns ``(batch_axis_or_None, pad)`` where ``pad`` rows of
+    inert (masked-identity) duplicate-last padding bring T up to a multiple
+    of the axis size — any T works, including the north-star shapes
+    (Flocking T=150, Lorenz T=399) on an 8-way mesh.
+
+    ``batch_axis="auto"`` shards the batch dim over the first non-time axis
+    when one exists AND the batch divides evenly — otherwise it falls back
+    to seq-only sharding (with a warning) instead of crashing. An explicitly
+    named batch_axis still raises on indivisibility."""
     D = mesh.shape[time_axis]
-    if T % D != 0:
-        raise ValueError(
-            f"T={T} must be divisible by the '{time_axis}' mesh axis size "
-            f"{D} for sequence parallelism"
-        )
+    pad = (-T) % D
     requested = batch_axis
     batch_axis = _batch_axis_of(mesh, time_axis, batch_axis)
     if batch_axis is None or batch_size is None:
-        return None
+        return None, pad
     Db = mesh.shape[batch_axis]
     if batch_size % Db != 0:
         if requested == "auto":
-            return None
+            # a silent loss of data parallelism is a large perf cliff on a
+            # 2D mesh — tell the user once per (axis, batch) combination
+            warnings.warn(
+                f"time_mesh: batch={batch_size} does not divide the "
+                f"'{batch_axis}' mesh axis size {Db}; falling back to "
+                f"seq-only sharding (no data parallelism). Pad the batch "
+                f"or pass batch_axis explicitly to silence this.",
+                stacklevel=3,
+            )
+            return None, pad
         raise ValueError(
             f"batch={batch_size} must be divisible by the '{batch_axis}' "
             f"mesh axis size {Db}"
         )
-    return batch_axis
+    return batch_axis, pad
+
+
+def _pad_time(tree, pad):
+    """Append ``pad`` duplicate-last rows along axis 0 of every leaf (the
+    duplicates keep every combine numerically well-conditioned; the masked
+    scan makes them exactly inert)."""
+    if pad == 0:
+        return tree
+    return jax.tree.map(
+        lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], 0
+        ),
+        tree,
+    )
 
 
 def time_sharded_forward_backward(trans_logits, init_logits, obs_logits, mesh,
@@ -180,9 +249,7 @@ def time_sharded_forward_backward(trans_logits, init_logits, obs_logits, mesh,
     no extra collectives are needed; per-sequence reductions stay sharded
     over data.
     """
-    from jax.sharding import PartitionSpec as P
-
-    batch_axis = _resolve_axes(
+    batch_axis, pad = _resolve_axes(
         mesh, time_axis, batch_axis, obs_logits.shape[0],
         obs_logits.shape[1] if obs_logits.ndim > 2 else None,
     )
@@ -191,14 +258,16 @@ def time_sharded_forward_backward(trans_logits, init_logits, obs_logits, mesh,
 
     # ptemp rides as a runtime operand (replicated): traced values work —
     # same contract as forward_backward_parallel's inline fallback
-    return _jit_fb(mesh, time_axis, batch_axis, scan_dispatch_state())(
+    return _jit_fb(mesh, time_axis, batch_axis, scan_dispatch_state(),
+                   pad=pad)(
         trans_logits, init_logits, obs_logits,
         jnp.asarray(ptemp, obs_logits.dtype),
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_fb(mesh, time_axis, batch_axis, _state=None, per_time_xi=False):
+def _jit_fb(mesh, time_axis, batch_axis, _state=None, per_time_xi=False,
+            pad=0):
     """Jitted shard_map program for the time-sharded forward-backward,
     memoized on the static arguments. An un-jitted shard_map call dispatches
     the body eagerly (order-of-magnitude slower than the compiled program
@@ -207,20 +276,37 @@ def _jit_fb(mesh, time_axis, batch_axis, _state=None, per_time_xi=False):
 
     ``per_time_xi=True`` is the driven (per-time-transition) variant: trans
     is (T,)-leading and sharded over time, and the pairwise marginals come
-    back per-time instead of time-summed (models/dhmm.py semantics)."""
+    back per-time instead of time-summed (models/dhmm.py semantics).
+
+    ``pad`` > 0: the entry pads the time axis with ``pad`` duplicate-last
+    rows so any T works on the mesh; the masked scans make the pad rows
+    exactly inert and the entry slices them back off."""
     from jax.sharding import PartitionSpec as P
 
     def body(trans, init, obs, ptemp):
         M = trans + obs[:, ..., None, :]
 
-        prefix = sharded_associative_scan(um.logmatmulexp, M, time_axis)
+        valid = None
+        if pad:
+            # global row index of each local row; rows >= T_real are inert
+            L = obs.shape[0]
+            D = jax.lax.axis_size(time_axis)
+            T_real = L * D - pad
+            gidx = jax.lax.axis_index(time_axis) * L + jnp.arange(L)
+            valid = gidx < T_real
+
+        prefix = sharded_associative_scan(
+            um.logmatmulexp, M, time_axis, valid=valid
+        )
         suffix = sharded_associative_scan(
-            um.logmatmulexp, M, time_axis, reverse=True
+            um.logmatmulexp, M, time_axis, reverse=True, valid=valid
         )
 
         alpha = um.stable_logsumexp(init[..., :, None] + prefix, -2)
         # global last row of alpha lives on the last device: all_gather the
-        # local last rows and take the final one
+        # local last rows and take the final one (under padding the masked
+        # prefix passes the last REAL total through the pad rows, so the
+        # global last row still equals alpha[T_real-1])
         last_rows = jax.lax.all_gather(alpha[-1], time_axis)
         logZ = um.stable_logsumexp(last_rows[-1], -1, keepdims=True)
         alpha = alpha - logZ
@@ -228,6 +314,11 @@ def _jit_fb(mesh, time_axis, batch_axis, _state=None, per_time_xi=False):
 
         beta = um.stable_logsumexp(suffix, -1)
         beta_t = shift_up(beta, time_axis, fill=0.0)
+        if pad:
+            # the global chain now ends at T_real-1, not at the array end:
+            # re-apply the end fill there (shift_up only fills the array end)
+            at_end = _lift_rank(gidx == T_real - 1, beta_t)
+            beta_t = jnp.where(at_end, 0.0, beta_t)
 
         smoothed = alpha + beta_t
         smoothed = smoothed - um.stable_logsumexp(smoothed, -1, keepdims=True)
@@ -236,6 +327,10 @@ def _jit_fb(mesh, time_axis, batch_axis, _state=None, per_time_xi=False):
         alpha_prev = shift_down(alpha, time_axis, init_row)
         xi = alpha_prev[..., :, None] + M + beta_t[..., None, :]
         xi = jnp.exp(xi - um.stable_logsumexp(xi, (-1, -2), keepdims=True))
+        if pad:
+            # pad rows carry (finite) garbage pairwise marginals: zero them
+            # out of the time-summed statistics
+            xi = xi * _lift_rank(valid, xi).astype(xi.dtype)
         # SEz0 = xi[global t=0].sum(-1): device 0 owns it; psum of a masked
         # local contribution replicates it
         idx = jax.lax.axis_index(time_axis)
@@ -262,7 +357,21 @@ def _jit_fb(mesh, time_axis, batch_axis, _state=None, per_time_xi=False):
         # the check
         check_vma=False,
     )
-    return jax.jit(shard)
+    if pad == 0:
+        return jax.jit(shard)
+
+    def entry(trans, init, obs, ptemp):
+        T = obs.shape[0]
+        obs = _pad_time(obs, pad)
+        if per_time_xi:
+            trans = _pad_time(trans, pad)
+        p, SEzz, SEz0, logZ = shard(trans, init, obs, ptemp)
+        p = p[:T]
+        if per_time_xi:
+            SEzz = SEzz[:T]
+        return p, SEzz, SEz0, logZ
+
+    return jax.jit(entry)
 
 
 def time_sharded_driven_forward_backward(trans_logits, init_logits, obs_logits,
@@ -276,7 +385,7 @@ def time_sharded_driven_forward_backward(trans_logits, init_logits, obs_logits,
     trans_logits: (T,) + batch + (K, K), obs_logits: (T,) + batch + (K,).
     T must divide by the mesh axis size.
     """
-    batch_axis = _resolve_axes(
+    batch_axis, pad = _resolve_axes(
         mesh, time_axis, batch_axis, obs_logits.shape[0],
         obs_logits.shape[1] if obs_logits.ndim > 2 else None,
     )
@@ -284,7 +393,7 @@ def time_sharded_driven_forward_backward(trans_logits, init_logits, obs_logits,
     from ..ops.chunked_scan import scan_dispatch_state
 
     return _jit_fb(mesh, time_axis, batch_axis, scan_dispatch_state(),
-                   per_time_xi=True)(
+                   per_time_xi=True, pad=pad)(
         trans_logits, init_logits, obs_logits,
         jnp.asarray(ptemp, obs_logits.dtype),
     )
@@ -307,24 +416,20 @@ def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq",
     element arrays) — combined sequence + data parallelism with no extra
     collectives (the combine is batch-elementwise).
     """
-    import numpy as _np
-
     # element batch shape by pure shape math (the elements themselves are
     # built INSIDE the jitted program so eager calls don't pay per-op
-    # dispatch for the ~20-op construction graph)
-    invQ = parms["invQ"]
-    nb = like[0].ndim - 1
-    bshape = _np.broadcast_shapes(
-        invQ.shape[max(0, invQ.ndim - nb):], like[0].shape[1:]
-    )
-    hdim = invQ.shape[-1]
-    batch_axis = _resolve_axes(
+    # dispatch for the ~20-op construction graph); shared with
+    # _build_elements so the broadcast rule can't desynchronize
+    from ..ops.parallel_kalman import element_batch_shape
+
+    bshape, hdim = element_batch_shape(parms, like)
+    batch_axis, pad = _resolve_axes(
         mesh, time_axis, batch_axis, like[0].shape[0],
         bshape[0] if len(bshape) > 2 else None,
     )
 
     Sigma, mu, Js, hs, Sigma_cross_all, Sigma_x0_x0, mu_x0, logZ_total = _jit_kalman(
-        mesh, time_axis, batch_axis, hdim, _kalman_dispatch_state()
+        mesh, time_axis, batch_axis, hdim, _kalman_dispatch_state(), pad=pad
     )(parms, x0, like, u)
     return (
         (Sigma, mu, Js, hs),
@@ -346,9 +451,14 @@ def _kalman_dispatch_state():
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_kalman(mesh, time_axis, batch_axis, hdim, _state=None):
+def _jit_kalman(mesh, time_axis, batch_axis, hdim, _state=None, pad=0):
     """Jitted shard_map program for time_sharded_kalman_smoother, memoized
-    on the statics (see _jit_fb for why eager shard_map must be avoided)."""
+    on the statics (see _jit_fb for why eager shard_map must be avoided).
+
+    ``pad`` > 0: the entry pads the element arrays with duplicate-last rows
+    up to a multiple of the mesh axis; the masked scans make pad rows
+    exactly inert (monoid completion — the Gaussian-potential combine has
+    no representable identity) and the entry slices them back off."""
     from jax.sharding import PartitionSpec as P
     from ..ops.parallel_kalman import (
         _combine,
@@ -359,15 +469,30 @@ def _jit_kalman(mesh, time_axis, batch_axis, hdim, _state=None):
 
     def body(Jaa, Jab, Jbb, ha, hb, logw):
         el = (Jaa, Jab, Jbb, ha, hb, logw)
-        prefix = sharded_associative_scan(_combine, el, time_axis)
+        valid = None
+        if pad:
+            L = logw.shape[0]
+            D = jax.lax.axis_size(time_axis)
+            T_real = L * D - pad
+            gidx = jax.lax.axis_index(time_axis) * L + jnp.arange(L)
+            valid = gidx < T_real
+        prefix = sharded_associative_scan(_combine, el, time_axis, valid=valid)
         # NOTE: unlike lax.associative_scan(reverse=True), this API flips the
         # operand order internally — pass the plain forward combine
-        suffix = sharded_associative_scan(_combine, el, time_axis, reverse=True)
+        suffix = sharded_associative_scan(
+            _combine, el, time_axis, reverse=True, valid=valid
+        )
 
         Ja, hva, logca = jax.vmap(lambda e: _marginalize_left(*e))(prefix)
         Jb_all, hvb_all, _ = jax.vmap(lambda e: _marginalize_right(*e))(suffix)
         Jbeta = shift_up(Jb_all, time_axis)
         hbeta = shift_up(hvb_all, time_axis)
+        if pad:
+            # the global chain ends at T_real-1: the backward message there
+            # is the empty (zero) potential, exactly shift_up's end fill
+            at_end = gidx == T_real - 1
+            Jbeta = jnp.where(_lift_rank(at_end, Jbeta), 0.0, Jbeta)
+            hbeta = jnp.where(_lift_rank(at_end, hbeta), 0.0, hbeta)
 
         Js = Ja + Jbeta
         hs = hva + hbeta
@@ -420,7 +545,15 @@ def _jit_kalman(mesh, time_axis, batch_axis, hdim, _state=None):
         # callers would otherwise pay per-op dispatch for its ~20-op graph
         from ..ops.parallel_kalman import _build_elements
 
-        elems, _bshape, _T, _h = _build_elements(parms, x0, like, u)
-        return shard(*elems)
+        elems, _bshape, T, _h = _build_elements(parms, x0, like, u)
+        if pad:
+            elems = _pad_time(elems, pad)
+        out = shard(*elems)
+        if pad:
+            # slice the inert pad rows off every time-leading output
+            # (Sigma, mu, Js, hs, Sigma_cross_all); the replicated tails
+            # (x0 marginals, logZ) are already exact
+            out = tuple(a[:T] for a in out[:5]) + out[5:]
+        return out
 
     return jax.jit(entry)
