@@ -49,15 +49,20 @@ def load_rotor_story(data_dir="./data", T_synth=400, n_particles=16):
 
 
 def main(iters_warm=10, iters=20):
+    smoke = bool(int(os.environ.get("PYVBMP_EXAMPLE_SMOKE", "0")))
     rng.seed(0)
-    data = load_rotor_story()
+    if smoke:
+        iters_warm, iters = 1, 1
+        data = load_rotor_story(T_synth=80, n_particles=6)
+    else:
+        data = load_rotor_story()
     model = DynamicMarkovBlanketDiscovery(
         obs_shape=data.shape[-2:],
         role_dims=(0, 1, 0),
-        hidden_dims=(8, 4, 2),
+        hidden_dims=(4, 2, 1) if smoke else (8, 4, 2),
         regression_dim=-1,
         control_dim=0,
-        number_of_objects=10,
+        number_of_objects=2 if smoke else 10,
     )
     # reference anneals the assignment temperature: ptemp 5 -> 1
     model.obs_model.ptemp = 5.0
@@ -70,10 +75,9 @@ def main(iters_warm=10, iters=20):
     try:
         from animate_results import animate_results
 
-        animate_results("particular", "./rotator_movie.gif").make_movie(
-            model, data, (0,)
-        )
-        print("wrote ./rotator_movie.gif")
+        gif = "/tmp/rotator_movie.gif" if smoke else "./rotator_movie.gif"
+        animate_results("particular", gif).make_movie(model, data, (0,))
+        print("wrote", gif)
     except Exception as e:  # matplotlib backends vary headless
         print("movie skipped:", e)
     return model

@@ -12,8 +12,12 @@ from pyvbmp_tpu.utils import rng
 
 
 def main(iters=10):
+    smoke = bool(int(os.environ.get("PYVBMP_EXAMPLE_SMOKE", "0")))
+    num_steps = 120 if smoke else 500
+    if smoke:
+        iters = 2
     rng.seed(0)
-    sim = FlameSimulator(num_steps=500, delta_t=0.02, thermal_diffusivity=0.5,
+    sim = FlameSimulator(num_steps=num_steps, delta_t=0.02, thermal_diffusivity=0.5,
                          temperature_threshold=0.45, num_sources=12)
     temperature, ignition_times, heat = sim.simulate()
     data = temperature[::5][..., None]  # (T, n_sources, 1)

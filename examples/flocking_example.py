@@ -13,11 +13,17 @@ from pyvbmp_tpu.utils import rng
 
 
 def main(iters=20, number_of_objects=3):
+    smoke = bool(int(os.environ.get("PYVBMP_EXAMPLE_SMOKE", "0")))
+    if smoke:
+        iters, number_of_objects = 2, 2
     rng.seed(0)
-    sim = Flocking(n_birds=12, Tmax=200, batch_size=10)
+    if smoke:
+        sim = Flocking(n_birds=6, Tmax=30, batch_size=2)
+    else:
+        sim = Flocking(n_birds=12, Tmax=200, batch_size=10)
     data = sim.simulate(jax.random.key(0))  # (T, batch, birds, 4)
     model = DynamicMarkovBlanketDiscovery(
-        obs_shape=(12, 4),
+        obs_shape=data.shape[-2:],
         role_dims=(2, 2, 2),
         hidden_dims=(2, 2, 2),
         number_of_objects=number_of_objects,
@@ -27,7 +33,7 @@ def main(iters=20, number_of_objects=3):
     pa = np.asarray(model.particular_assignment())
     print("ELBO trace:", ["%.0f" % e for e in model.ELBO_save])
     print("per-bird object frequencies (last frame):")
-    for b in range(12):
+    for b in range(data.shape[-2]):
         vals, counts = np.unique(pa[-1, :, b], return_counts=True)
         print("  bird", b, dict(zip(vals.tolist(), counts.tolist())))
     return model

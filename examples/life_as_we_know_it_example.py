@@ -18,7 +18,7 @@ from pyvbmp_tpu.models import DynamicMarkovBlanketDiscovery
 from pyvbmp_tpu.utils import rng
 
 
-def load_life(data_dir="./data"):
+def load_life(data_dir="./data", T=770, n=64, k=6):
     yf = os.path.join(data_dir, "ly.txt")
     xf = os.path.join(data_dir, "lx.txt")
     if os.path.exists(yf) and os.path.exists(xf):
@@ -30,7 +30,7 @@ def load_life(data_dir="./data"):
     else:
         print("life data not found; simulating clustered particle soup")
         rs = np.random.RandomState(0)
-        T, n, k = 770, 64, 6  # smaller than the real dataset so CPU runs finish
+        # default T/n smaller than the real dataset so CPU runs finish
         member = rs.randint(0, k, n)
         centers = np.cumsum(0.02 * rs.randn(T, k, 2), axis=0)
         jitter = 0.15 * rs.randn(T, n, 2)
@@ -49,15 +49,20 @@ def load_life(data_dir="./data"):
 
 
 def main(iters=40):
+    smoke = bool(int(os.environ.get("PYVBMP_EXAMPLE_SMOKE", "0")))
     rng.seed(0)
-    data = load_life()
+    if smoke:
+        iters = 2
+        data = load_life(T=80, n=12, k=2)
+    else:
+        data = load_life()
     model = DynamicMarkovBlanketDiscovery(
         obs_shape=data.shape[-2:],
         role_dims=(0, 1, 1),
-        hidden_dims=(12, 4, 4),
+        hidden_dims=(4, 2, 2) if smoke else (12, 4, 4),
         regression_dim=0,
         control_dim=0,
-        number_of_objects=6,
+        number_of_objects=2 if smoke else 6,
     )
     model.update(data, iters=iters, lr=0.5, verbose=True)
     pa = np.asarray(model.particular_assignment())
@@ -68,8 +73,9 @@ def main(iters=40):
     try:
         from animate_results import animate_results
 
-        animate_results("particular", "./wil.gif").make_movie(model, data, (0,))
-        print("wrote ./wil.gif")
+        gif = "/tmp/wil.gif" if smoke else "./wil.gif"
+        animate_results("particular", gif).make_movie(model, data, (0,))
+        print("wrote", gif)
     except Exception as e:
         print("movie skipped:", e)
     return model

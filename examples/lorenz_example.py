@@ -56,9 +56,16 @@ def pc_scores(model, out="lorenz_pc_scores.png"):
 
 
 def main(batch_num=20, iters=20):
+    smoke = bool(int(os.environ.get("PYVBMP_EXAMPLE_SMOKE", "0")))
+    if smoke:  # tiny-config smoke run for the test gate
+        batch_num, iters = 2, 2
     rng.seed(0)
     sim = Lorenz()
+    if smoke:
+        sim.num_steps = 150
     data = sim.simulate(batch_num)  # (T, batch, 3, 2) position+velocity
+    if smoke:
+        data = data[:24]
     print("data:", data.shape)
 
     model = DynamicMarkovBlanketDiscovery(
@@ -71,7 +78,8 @@ def main(batch_num=20, iters=20):
     print("ELBO trace:", ["%.0f" % e for e in model.ELBO_save])
     print("assignment fractions (s,b,z):", np.asarray(p.mean((0, 1, 2))))
     try:
-        print("wrote", pc_scores(model))
+        out = "/tmp/lorenz_pc_scores.png" if smoke else "lorenz_pc_scores.png"
+        print("wrote", pc_scores(model, out=out))
     except Exception as e:
         print("pc-score plot skipped:", e)
     # labeled role/dynamics structure heatmaps (reference DMBD.py:344-415)

@@ -11,8 +11,12 @@ from pyvbmp_tpu.utils import rng
 
 
 def main(iters=20):
+    smoke = bool(int(os.environ.get("PYVBMP_EXAMPLE_SMOKE", "0")))
+    Tmax, batch_size = (30, 2) if smoke else (200, 10)
+    if smoke:
+        iters = 2
     rng.seed(0)
-    sim = NewtonsCradle(n_balls=5, ball_size=0.2, Tmax=200, batch_size=10,
+    sim = NewtonsCradle(n_balls=5, ball_size=0.2, Tmax=Tmax, batch_size=batch_size,
                         g=1, leak=0.01, dt=0.05)
     data, theta = sim.generate_data("1 ball object", key=jax.random.key(3))
     model = DynamicMarkovBlanketDiscovery(

@@ -33,8 +33,11 @@ def make_data(T=200, B=8, seed=0):
 
 
 def main(iters=30, restarts=6):
+    smoke = bool(int(os.environ.get("PYVBMP_EXAMPLE_SMOKE", "0")))
+    if smoke:
+        iters, restarts = 2, 1
     rng.seed(0)
-    y, ztrue = make_data()
+    y, ztrue = make_data(T=60, B=4) if smoke else make_data()
     model = NLDS((3,), hidden_dim=2, mixture_dim=2)
     model.fit(y, iters=iters, restarts=restarts, verbose=True)
     hard = np.asarray(model.assignment())

@@ -24,8 +24,11 @@ def two_moons(n=400, noise=0.08, seed=0):
 
 
 def main(iters=20):
+    smoke = bool(int(os.environ.get("PYVBMP_EXAMPLE_SMOKE", "0")))
+    if smoke:
+        iters = 3
     rng.seed(0)
-    X, y = two_moons()
+    X, y = two_moons(n=80) if smoke else two_moons()
     Y = np.eye(2, dtype=np.float32)[y]
     hidden = 2
     layer = dMixtureofLinearTransforms(hidden, 2, 4, pad_X=True)
