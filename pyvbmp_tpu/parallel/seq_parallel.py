@@ -303,12 +303,18 @@ def _jit_fb(mesh, time_axis, batch_axis, _state=None, per_time_xi=False,
         )
 
         alpha = um.stable_logsumexp(init[..., :, None] + prefix, -2)
-        # global last row of alpha lives on the last device: all_gather the
-        # local last rows and take the final one (under padding the masked
-        # prefix passes the last REAL total through the pad rows, so the
-        # global last row still equals alpha[T_real-1])
-        last_rows = jax.lax.all_gather(alpha[-1], time_axis)
-        logZ = um.stable_logsumexp(last_rows[-1], -1, keepdims=True)
+        # global last row of alpha lives on the last device (under padding
+        # the masked prefix passes the last REAL total through the pad rows,
+        # so the last local row still equals alpha[T_real-1]).  Masked psum
+        # rather than all_gather[-1]: psum output is statically
+        # known-replicated, keeping check_vma enabled.
+        idx0 = jax.lax.axis_index(time_axis)
+        nD = jax.lax.axis_size(time_axis)
+        alpha_last = jax.lax.psum(
+            jnp.where(idx0 == nD - 1, alpha[-1], jnp.zeros_like(alpha[-1])),
+            time_axis,
+        )
+        logZ = um.stable_logsumexp(alpha_last, -1, keepdims=True)
         alpha = alpha - logZ
         logZ = logZ[..., 0]
 
@@ -355,7 +361,7 @@ def _jit_fb(mesh, time_axis, batch_axis, _state=None, per_time_xi=False,
         # the psum/all_gather outputs ARE replicated over time; static
         # inference can't see through the masked-fold/index pattern, so skip
         # the check
-        check_vma=False,
+        check_vma=True,
     )
     if pad == 0:
         return jax.jit(shard)
@@ -514,10 +520,18 @@ def _jit_kalman(mesh, time_axis, batch_axis, hdim, _state=None, pad=0):
         Sbb = sym_inv(D - mT(B) @ Ainv_B)
         Sigma_cross_all = -Ainv_B @ Sbb
 
-        # global last filtered potential for logZ
-        Ja_l = jax.lax.all_gather(Ja[-1], time_axis)[-1]
-        hva_l = jax.lax.all_gather(hva[-1], time_axis)[-1]
-        logca_l = jax.lax.all_gather(logca[-1], time_axis)[-1]
+        # global last filtered potential for logZ.  Masked psum rather than
+        # all_gather[-1]: psum output is statically known-replicated, which
+        # keeps shard_map's check_vma safety net enabled (all_gather output
+        # is conservatively inferred time-varying even though its content is
+        # identical on every device).
+        nD = jax.lax.axis_size(time_axis)
+        last = lambda a: jax.lax.psum(
+            jnp.where(idx == nD - 1, a, jnp.zeros_like(a)), time_axis
+        )
+        Ja_l = last(Ja[-1])
+        hva_l = last(hva[-1])
+        logca_l = last(logca[-1])
         sol, logdetJ = sym_solve_and_logdet(Ja_l, hva_l)
         logZ_total = (
             logca_l
@@ -537,7 +551,7 @@ def _jit_kalman(mesh, time_axis, batch_axis, hdim, _state=None, pad=0):
         mesh=mesh,
         in_specs=(sh,) * 6,
         out_specs=(sh, sh, sh, sh, sh, b0, b0, b0),
-        check_vma=False,
+        check_vma=True,
     )
 
     def entry(parms, x0, like, u):
