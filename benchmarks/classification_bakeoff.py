@@ -106,6 +106,84 @@ def main(task="synthetic"):
     results["dMixLT (4 experts)"] = timed(fit_moe(dMixtureofLinearTransforms))
     results["NLR-multinomial"] = timed(fit_moe(NLRegression_Multinomial))
 
+    def fit_convnet():
+        """Gradient-SGD baseline arm (reference tests/mnist_net_vanilla.py:
+        1-108 — the reference's only gradient-trained model, used there as a
+        wall-clock/accuracy comparison point for the VB classifiers).  A
+        small conv net on the 8x8 digits (conv-relu-pool x2 + dense), or an
+        MLP on the non-spatial synthetic task; plain momentum-SGD on
+        softmax cross-entropy, hand-rolled (no optax)."""
+        spatial = Xtr.shape[1] == 64
+
+        def init_params(key):
+            ks = jax.random.split(key, 4)
+            he = lambda k, sh, fan: jax.random.normal(k, sh, jnp.float32) * np.sqrt(2.0 / fan)
+            if spatial:
+                return {
+                    "c1": he(ks[0], (3, 3, 1, 16), 9),
+                    "c2": he(ks[1], (3, 3, 16, 32), 9 * 16),
+                    "w": he(ks[2], (2 * 2 * 32, K), 128),
+                    "b": jnp.zeros((K,), jnp.float32),
+                }
+            return {
+                "w1": he(ks[0], (Xtr.shape[1], 128), Xtr.shape[1]),
+                "b1": jnp.zeros((128,), jnp.float32),
+                "w2": he(ks[1], (128, K), 128),
+                "b2": jnp.zeros((K,), jnp.float32),
+            }
+
+        def forward(p, x):
+            if spatial:
+                x = x.reshape(-1, 8, 8, 1)
+                x = jax.lax.conv_general_dilated(
+                    x, p["c1"], (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                x = jax.nn.relu(x)
+                x = jax.lax.reduce_window(
+                    x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+                x = jax.lax.conv_general_dilated(
+                    x, p["c2"], (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                x = jax.nn.relu(x)
+                x = jax.lax.reduce_window(
+                    x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+                return x.reshape(x.shape[0], -1) @ p["w"] + p["b"]
+            h = jax.nn.relu(x @ p["w1"] + p["b1"])
+            return h @ p["w2"] + p["b2"]
+
+        def loss(p, x, y1h):
+            lp = jax.nn.log_softmax(forward(p, x))
+            return -(y1h * lp).sum(-1).mean()
+
+        NB = jXtr.shape[0] // 50  # drop the ragged last minibatch
+
+        @jax.jit
+        def epoch(p, v, key):
+            idx = jax.random.permutation(key, jXtr.shape[0])[: NB * 50]
+            xb = jXtr[idx].reshape(NB, 50, jXtr.shape[1])
+            yb = jYtr[idx].reshape(NB, 50, K)
+
+            def step(carry, batch):
+                p, v = carry
+                g = jax.grad(loss)(p, *batch)
+                v = jax.tree.map(lambda v_, g_: 0.9 * v_ - 0.05 * g_, v, g)
+                p = jax.tree.map(lambda p_, v_: p_ + v_, p, v)
+                return (p, v), None
+
+            (p, v), _ = jax.lax.scan(step, (p, v), (xb, yb))
+            return p, v
+
+        def run():
+            p = init_params(jax.random.key(0))
+            v = jax.tree.map(jnp.zeros_like, p)
+            for e in range(20):
+                p, v = epoch(p, v, jax.random.key(e + 1))
+            return np.asarray(forward(p, jXte)).argmax(-1)
+
+        return run
+
+    results["SGD conv-net (jax)"] = timed(fit_convnet())
+
     for name, (acc, dt) in results.items():
         print("%-22s accuracy %.3f   fit %.1fs   [%s]" % (name, acc, dt, task))
     return results
@@ -155,6 +233,39 @@ def main_ref(task="synthetic"):
     pY = m.predict(tXe)[0]
     acc = (pY.mean().squeeze(-1).argmax(-1).numpy() == yte).mean()
     results["NLR-multinomial"] = (acc, dt)
+
+    # gradient-SGD conv-net arm (reference tests/mnist_net_vanilla.py:1-108,
+    # its Net scaled to the 8x8 digits; MLP on the non-spatial synthetic task)
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    spatial = Xtr.shape[1] == 64
+    torch.manual_seed(0)
+    if spatial:
+        net = nn.Sequential(
+            nn.Unflatten(1, (1, 8, 8)),
+            nn.Conv2d(1, 16, 3, padding=1), nn.ReLU(), nn.MaxPool2d(2),
+            nn.Conv2d(16, 32, 3, padding=1), nn.ReLU(), nn.MaxPool2d(2),
+            nn.Flatten(), nn.Linear(2 * 2 * 32, K),
+        )
+    else:
+        net = nn.Sequential(
+            nn.Linear(Xtr.shape[1], 128), nn.ReLU(), nn.Linear(128, K)
+        )
+    opt = torch.optim.SGD(net.parameters(), lr=0.05, momentum=0.9)
+    ty = torch.tensor(ytr)
+    t0 = time.perf_counter()
+    NB = len(Xtr) // 50
+    for e in range(20):
+        perm = torch.randperm(len(Xtr))[: NB * 50]
+        for b in perm.reshape(NB, 50):
+            opt.zero_grad()
+            F.cross_entropy(net(tX[b]), ty[b]).backward()
+            opt.step()
+    dt = time.perf_counter() - t0
+    with torch.no_grad():
+        acc = (net(tXe).argmax(-1).numpy() == yte).mean()
+    results["SGD conv-net (torch)"] = (acc, dt)
 
     for name, (acc, dt) in results.items():
         print(

@@ -245,6 +245,14 @@ SWEEP = [
     ("dmbd", dict(T=399, b=20)),
     ("dmbd", dict(T=399, b=100)),
     ("dmbd", dict(T=399, b=400)),
+    # -------- MXU-at-scale rows (VERDICT r3 item 6): large event dims put
+    # the suff-stat contractions (reference NormalInverseWishart.py:79-84,
+    # MatrixNormalWishart.py:184-189) on the 128x128 systolic array instead
+    # of the VPU noise floor; these rows record %peak-FLOP there.
+    ("gmm", dict(n=100_000, d=64, K=16)),
+    ("gmm", dict(n=100_000, d=128, K=16)),
+    ("hmm", dict(T=200, b=200, K=64, d=8)),
+    ("lds", dict(T=200, b=100, o=32, h=32)),
 ]
 
 RUNNERS = dict(gmm=run_gmm, hmm=run_hmm, lds=run_lds, mixlds=run_mixlds,
@@ -261,8 +269,14 @@ def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "scaling_study.json"
     )
+    # optional start index: rerun only SWEEP[start:], merging into the
+    # existing out file (earlier rows kept verbatim)
+    start = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     results = []
-    for fam, cfg in SWEEP:
+    if start > 0 and os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)["results"][:start]
+    for fam, cfg in SWEEP[start:]:
         iters = 30 if fam in ("gmm", "hmm", "lds") else 25
         t0 = time.perf_counter()
         try:

@@ -151,11 +151,26 @@ def chunked_scan(combine, elems, reverse=False, chunk=None):
 
 
 def auto_scan(combine, elems, reverse=False):
-    """``chunked_scan`` when the time axis is long enough to amortize the
-    three-phase structure, plain ``associative_scan`` below the threshold
-    (or when disabled via PYVBMP_CHUNKED_SCAN_MIN_T=0). The module-global
-    reads resolve at call time, so monkeypatched knobs are visible."""
+    """Layered scan dispatch, fastest applicable first:
+
+    1. the fused single-pass Pallas kernel (ops/pallas_scan.py) on TPU for
+       lane/plane layouts with T >= PYVBMP_PALLAS_SCAN_MIN_T — one kernel,
+       read-once/write-once HBM traffic, no per-level dispatch;
+    2. ``chunked_scan`` when the time axis is long enough to amortize the
+       three-phase structure;
+    3. plain ``associative_scan`` otherwise.
+
+    The module-global reads resolve at call time, so monkeypatched knobs
+    are visible."""
     T = jax.tree_util.tree_leaves(elems)[0].shape[0]
+    from . import pallas_scan as ps
+
+    if (
+        ps.pallas_scan_enabled()
+        and T >= ps.PALLAS_SCAN_MIN_T
+        and ps.eligible(elems)
+    ):
+        return ps.pallas_chunked_scan(combine, elems, reverse=reverse)
     if CHUNKED_SCAN_MIN_T > 0 and T >= CHUNKED_SCAN_MIN_T:
         return chunked_scan(combine, elems, reverse=reverse)
     return jax.lax.associative_scan(combine, elems, axis=0, reverse=reverse)
@@ -165,10 +180,16 @@ def scan_dispatch_state():
     """The knobs this module bakes into any trace that routes through
     auto_scan — every jit-memo key around the smoothers must include this
     so flipping a knob retraces instead of reusing a stale program."""
+    from . import pallas_scan as ps
+
     return (
         CHUNKED_SCAN_MIN_T,
         CHUNK_UNROLL,
         os.environ.get("PYVBMP_CHUNK_LEN", "0"),
+        ps.PALLAS_SCAN,
+        ps.PALLAS_SCAN_MIN_T,
+        ps.PALLAS_SCAN_N_TILE,
+        ps.PALLAS_SCAN_CHUNK,
     )
 
 

@@ -1,0 +1,250 @@
+"""Single-pass fused chunked scan as a Pallas TPU kernel.
+
+The smoother prefix/suffix scans are the HBM-bound inner loop of every
+chain model at large batch (PARITY.md scaling study: MixLDS b=4000 at
+78 GB/s, LDS h=16 at 85 GB/s — ~10% of bandwidth peak).  Both
+``jax.lax.associative_scan`` (~2 log2 T levels, each a separate HBM
+round-trip over a shrinking slice) and the three-phase chunked scan
+(ops/chunked_scan.py, ~4 element passes) pay multiple passes over the
+element arrays.  This kernel performs the whole inclusive scan with the
+minimum possible traffic — read each element once, write each prefix
+once — by walking time chunks sequentially inside one kernel while the
+carry lives in VMEM scratch:
+
+    grid = (N_tiles, C)           # C innermost: chunks walk in order
+    block = (L,) + mid + (n_tile,)  per leaf
+    carry  = VMEM scratch, one per leaf, shape mid + (n_tile,)
+
+Within a block the combine runs L times sequentially on the VPU
+(vectorized over the n_tile lanes); Mosaic double-buffers the next
+chunk's HBM->VMEM DMA behind the current chunk's compute, so the kernel
+streams at bandwidth.  TPU grids execute sequentially on the core, which
+is exactly what makes the cross-chunk carry correct.
+
+Layout contract: every leaf is ``(T,) + mid + (N,)`` with the SAME T and
+N — time leading, a (possibly empty) small/static middle, and the
+flattened batch N riding the 128-wide lanes.  Both smoother layouts
+satisfy this (lane form: (T, N) components; plane form: (T, h, w, N) /
+(T, h, N) / (T, N) planes — ops/smallmat.py, ops/planemat.py).
+
+Ragged edges are handled by masking, not padding: T and N need not
+divide the block sizes.  Out-of-range rows read unspecified values; a
+per-row validity test keeps them out of the carry (the semigroups here
+have no identity element, so the carry tracks a validity flag — the same
+monoid completion as parallel/seq_parallel.py), and Pallas drops their
+writes.  ``reverse=True`` matches ``lax.associative_scan`` semantics
+(flip o scan o flip) and is implemented in-kernel by walking chunks and
+rows backwards — no flip copies.
+
+Reference hot loop being replaced: LinearDynamicalSystems.py:332-383
+(the sequential forward/backward recursions).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+# dispatch knob: 1 = use the fused kernel on TPU for eligible layouts,
+# 0 = never. "auto" (default) enables it on TPU backends only.
+PALLAS_SCAN = os.environ.get("PYVBMP_PALLAS_SCAN", "auto")
+# minimum time length: below this the level scan is already cheap and the
+# kernel's fixed cost (grid setup, scratch) isn't worth a retrace
+PALLAS_SCAN_MIN_T = int(os.environ.get("PYVBMP_PALLAS_SCAN_MIN_T", "32"))
+# lane-tile width; 512 lanes = 4 fp32 vregs per op, a good VPU width
+PALLAS_SCAN_N_TILE = int(os.environ.get("PYVBMP_PALLAS_SCAN_N_TILE", "512"))
+# time-chunk length: larger L = fewer grid steps (less per-step overhead)
+# but a bigger VMEM block; bounded by the VMEM budget below
+PALLAS_SCAN_CHUNK = int(os.environ.get("PYVBMP_PALLAS_SCAN_CHUNK", "32"))
+# stay well under the ~16 MB/core VMEM (blocks are double-buffered)
+VMEM_BUDGET_BYTES = int(
+    os.environ.get("PYVBMP_PALLAS_SCAN_VMEM", str(4 * 1024 * 1024))
+)
+
+
+def pallas_scan_enabled():
+    if PALLAS_SCAN == "0":
+        return False
+    if PALLAS_SCAN == "1":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # backend not initialized yet
+        return False
+
+
+def _leaf_mid_elems(shape):
+    n = 1
+    for s in shape[1:-1]:
+        n *= s
+    return n
+
+
+def eligible(elems):
+    """All leaves (T,)+mid+(N,) with shared T and N, fp32, T >= 2."""
+    leaves = jax.tree_util.tree_leaves(elems)
+    if not leaves:
+        return False
+    T = leaves[0].shape[0]
+    N = leaves[0].shape[-1]
+    if T < 2:
+        return False
+    for l in leaves:
+        if l.ndim < 2 or l.shape[0] != T or l.shape[-1] != N:
+            return False
+        if l.dtype != jnp.float32:
+            return False
+    return True
+
+
+def _plan(T, N, elem_rows_bytes):
+    """Pick (L, n_tile) under the VMEM budget.
+
+    elem_rows_bytes: bytes of ONE time row across all leaves at full N.
+    The in-VMEM working set is ~3 blocks (in + out double-buffered pairs
+    count against the same budget; Mosaic manages the exact count)."""
+    n_tile = min(PALLAS_SCAN_N_TILE, max(128, N))
+    # shrink n_tile to a 128 multiple >= 128
+    n_tile = max(128, (n_tile // 128) * 128)
+    per_row = elem_rows_bytes * n_tile / max(N, 1)
+    L = PALLAS_SCAN_CHUNK
+    while L > 8 and 3 * L * per_row > VMEM_BUDGET_BYTES:
+        L //= 2
+    while n_tile > 128 and 3 * L * per_row > VMEM_BUDGET_BYTES:
+        n_tile //= 2
+        per_row /= 2
+    return L, n_tile
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call(combine_key, treedef, shapes, T, N, L, n_tile, reverse,
+                interpret):
+    """Construct the pallas_call for a given element structure.
+
+    combine_key: (fn, key-extras) tuple used only for memoization identity;
+    the fn itself is element 0."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    combine = combine_key[0]
+    n_leaves = len(shapes)
+    C = pl.cdiv(T, L)
+    NT = pl.cdiv(N, n_tile)
+
+    def block_shape(shape):
+        return (L,) + tuple(shape[1:-1]) + (n_tile,)
+
+    def index_map(shape):
+        mid_zeros = (0,) * (len(shape) - 2)
+        if reverse:
+            # walk chunks back-to-front: physical chunk = C-1-c
+            return lambda nb, c: (C - 1 - c,) + mid_zeros + (nb,)
+        return lambda nb, c: (c,) + mid_zeros + (nb,)
+
+    in_specs = [
+        pl.BlockSpec(block_shape(s), index_map(s), memory_space=pltpu.VMEM)
+        for s in shapes
+    ]
+    out_specs = [
+        pl.BlockSpec(block_shape(s), index_map(s), memory_space=pltpu.VMEM)
+        for s in shapes
+    ]
+    scratch_shapes = [
+        pltpu.VMEM(tuple(s[1:-1]) + (n_tile,), jnp.float32) for s in shapes
+    ] + [pltpu.SMEM((1,), jnp.int32)]  # carry-valid flag
+
+    def kernel(*refs):
+        in_refs = refs[:n_leaves]
+        out_refs = refs[n_leaves : 2 * n_leaves]
+        carry_refs = refs[2 * n_leaves : 3 * n_leaves]
+        valid_ref = refs[3 * n_leaves]
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            valid_ref[0] = 0
+
+        # physical chunk this block came from (for row-validity math)
+        c_phys = (C - 1 - c) if reverse else c
+
+        unflatten = jax.tree_util.tree_unflatten
+
+        def read_row(t):
+            return unflatten(treedef, [r[t] for r in in_refs])
+
+        def write_row(t, tree):
+            for r, v in zip(out_refs, jax.tree_util.tree_leaves(tree)):
+                r[t] = v
+
+        def read_carry():
+            return unflatten(treedef, [r[:] for r in carry_refs])
+
+        def write_carry(tree):
+            for r, v in zip(carry_refs, jax.tree_util.tree_leaves(tree)):
+                r[:] = v
+
+        def step(i, carry_valid):
+            t = (L - 1 - i) if reverse else i
+            row_global = c_phys * L + t
+            is_valid = row_global < T
+            e = read_row(t)
+            carry = read_carry()
+            # reverse matches lax.associative_scan(reverse=True):
+            # accumulate fn(later-accumulated, earlier-element)
+            combined = combine(carry, e)
+            use_combined = jnp.logical_and(carry_valid != 0, is_valid)
+            new = jax.tree.map(
+                lambda cmb, el, cr: jnp.where(
+                    use_combined, cmb, jnp.where(is_valid, el, cr)
+                ),
+                combined,
+                e,
+                carry,
+            )
+            write_carry(new)
+            write_row(t, new)
+            return jnp.where(is_valid, 1, carry_valid)
+
+        valid_ref[0] = jax.lax.fori_loop(0, L, step, valid_ref[0])
+
+    grid = (NT, C)
+    out_shape = [jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes]
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )
+
+    def entry(*leaves):
+        outs = call(*leaves)
+        return jax.tree_util.tree_unflatten(treedef, outs)
+
+    return entry
+
+
+def pallas_chunked_scan(combine, elems, reverse=False, interpret=None):
+    """Inclusive scan of ``combine`` over axis 0 of the pytree ``elems``;
+    drop-in for ``jax.lax.associative_scan(combine, elems, axis=0,
+    reverse=reverse)`` under the (T,)+mid+(N,) layout contract."""
+    leaves, treedef = jax.tree_util.tree_flatten(elems)
+    shapes = tuple(tuple(l.shape) for l in leaves)
+    T = shapes[0][0]
+    N = shapes[0][-1]
+    row_bytes = sum(4 * _leaf_mid_elems(s) * N for s in shapes)
+    L, n_tile = _plan(T, N, row_bytes)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    entry = _build_call(
+        (combine,), treedef, shapes, T, N, L, n_tile, bool(reverse),
+        bool(interpret),
+    )
+    return entry(*leaves)
+
+
+__all__ = ["pallas_chunked_scan", "pallas_scan_enabled", "eligible"]
