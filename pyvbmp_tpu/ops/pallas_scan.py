@@ -83,7 +83,15 @@ def _leaf_mid_elems(shape):
 
 
 def eligible(elems):
-    """All leaves (T,)+mid+(N,) with shared T and N, fp32, T >= 2."""
+    """All leaves (T,)+mid+(N,) with shared T and N, fp32, T >= 2, and at
+    least one rank >= 3 leaf (the plane-layout signature).
+
+    All-rank-2 pytrees (the lane layouts) are excluded from the AUTO
+    dispatch: their rows live on a single sublane after the Mosaic lifting,
+    so the kernel runs at 1/8 VPU width and measured slower than the
+    level/chunked scans (v5e: Kalman lane h=2 T=8192 0.31 ms chunked vs
+    1.13 ms pallas).  Direct calls to pallas_chunked_scan still accept
+    them (used by the correctness tests)."""
     leaves = jax.tree_util.tree_leaves(elems)
     if not leaves:
         return False
@@ -91,36 +99,42 @@ def eligible(elems):
     N = leaves[0].shape[-1]
     if T < 2:
         return False
+    plane_like = False
     for l in leaves:
         if l.ndim < 2 or l.shape[0] != T or l.shape[-1] != N:
             return False
         if l.dtype != jnp.float32:
             return False
-    return True
+        plane_like = plane_like or l.ndim >= 3
+    return plane_like
 
 
 def _plan(T, N, elem_rows_bytes):
-    """Pick (L, n_tile) under the VMEM budget.
+    """Pick (L, n_tile) under the VMEM budget, or None if the element row
+    is too fat to double-buffer even at the minimum block (the caller then
+    falls back to the level/chunked scans).
 
     elem_rows_bytes: bytes of ONE time row across all leaves at full N.
-    The in-VMEM working set is ~3 blocks (in + out double-buffered pairs
-    count against the same budget; Mosaic manages the exact count)."""
+    The in-VMEM working set is ~4 blocks (in + out, each double-buffered
+    by Mosaic) plus the carry row."""
     n_tile = min(PALLAS_SCAN_N_TILE, max(128, N))
     # shrink n_tile to a 128 multiple >= 128
     n_tile = max(128, (n_tile // 128) * 128)
     per_row = elem_rows_bytes * n_tile / max(N, 1)
     L = PALLAS_SCAN_CHUNK
-    while L > 8 and 3 * L * per_row > VMEM_BUDGET_BYTES:
+    while L > 2 and 4 * L * per_row > VMEM_BUDGET_BYTES:
         L //= 2
-    while n_tile > 128 and 3 * L * per_row > VMEM_BUDGET_BYTES:
+    while n_tile > 128 and 4 * L * per_row > VMEM_BUDGET_BYTES:
         n_tile //= 2
         per_row /= 2
+    if 4 * L * per_row + per_row > VMEM_BUDGET_BYTES:
+        return None
     return L, n_tile
 
 
 @functools.lru_cache(maxsize=None)
 def _build_call(combine_key, treedef, shapes, T, N, L, n_tile, reverse,
-                interpret):
+                interpret, lifted_idx=()):
     """Construct the pallas_call for a given element structure.
 
     combine_key: (fn, key-extras) tuple used only for memoization identity;
@@ -170,20 +184,39 @@ def _build_call(combine_key, treedef, shapes, T, N, L, n_tile, reverse,
         c_phys = (C - 1 - c) if reverse else c
 
         unflatten = jax.tree_util.tree_unflatten
+        lifted = set(lifted_idx)
 
         def read_row(t):
-            return unflatten(treedef, [r[t] for r in in_refs])
+            # squeeze the lifted unit axis so the combine sees the
+            # caller's leaf ranks
+            return unflatten(
+                treedef,
+                [
+                    r[t][0] if i in lifted else r[t]
+                    for i, r in enumerate(in_refs)
+                ],
+            )
 
         def write_row(t, tree):
-            for r, v in zip(out_refs, jax.tree_util.tree_leaves(tree)):
-                r[t] = v
+            for i, (r, v) in enumerate(
+                zip(out_refs, jax.tree_util.tree_leaves(tree))
+            ):
+                r[t] = v[None] if i in lifted else v
 
         def read_carry():
-            return unflatten(treedef, [r[:] for r in carry_refs])
+            return unflatten(
+                treedef,
+                [
+                    r[0] if i in lifted else r[:]
+                    for i, r in enumerate(carry_refs)
+                ],
+            )
 
         def write_carry(tree):
-            for r, v in zip(carry_refs, jax.tree_util.tree_leaves(tree)):
-                r[:] = v
+            for i, (r, v) in enumerate(
+                zip(carry_refs, jax.tree_util.tree_leaves(tree))
+            ):
+                r[:] = v[None] if i in lifted else v
 
         def step(i, carry_valid):
             t = (L - 1 - i) if reverse else i
@@ -223,6 +256,9 @@ def _build_call(combine_key, treedef, shapes, T, N, L, n_tile, reverse,
 
     def entry(*leaves):
         outs = call(*leaves)
+        outs = [
+            o[:, 0, :] if i in lifted_idx else o for i, o in enumerate(outs)
+        ]
         return jax.tree_util.tree_unflatten(treedef, outs)
 
     return entry
@@ -233,16 +269,30 @@ def pallas_chunked_scan(combine, elems, reverse=False, interpret=None):
     drop-in for ``jax.lax.associative_scan(combine, elems, axis=0,
     reverse=reverse)`` under the (T,)+mid+(N,) layout contract."""
     leaves, treedef = jax.tree_util.tree_flatten(elems)
+    T = leaves[0].shape[0]
+    N = leaves[0].shape[-1]
+    row_bytes = sum(
+        4 * _leaf_mid_elems(l.shape) * N for l in leaves
+    )
+    plan = _plan(T, N, row_bytes)
+    if plan is None:
+        return jax.lax.associative_scan(combine, elems, axis=0,
+                                        reverse=reverse)
+    L, n_tile = plan
+    # Mosaic requires a block's last two dims to be divisible by (8, 128)
+    # or equal to the full array dims.  Rank-2 leaves (T, N) would put the
+    # time-chunk L in the constrained second-minor slot; lift them to
+    # (T, 1, N) so the constrained dims are (1 == full, n_tile % 128 == 0)
+    # and L is free.  The combines are broadcasting-safe under the extra
+    # unit axis; the entry squeezes it back off.
+    lifted_idx = tuple(i for i, l in enumerate(leaves) if l.ndim == 2)
+    leaves = [l[:, None, :] if l.ndim == 2 else l for l in leaves]
     shapes = tuple(tuple(l.shape) for l in leaves)
-    T = shapes[0][0]
-    N = shapes[0][-1]
-    row_bytes = sum(4 * _leaf_mid_elems(s) * N for s in shapes)
-    L, n_tile = _plan(T, N, row_bytes)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     entry = _build_call(
         (combine,), treedef, shapes, T, N, L, n_tile, bool(reverse),
-        bool(interpret),
+        bool(interpret), lifted_idx,
     )
     return entry(*leaves)
 

@@ -1,0 +1,104 @@
+"""Correctness of the fused single-pass Pallas scan (ops/pallas_scan.py)
+against jax.lax.associative_scan, in interpreter mode on CPU (the kernel
+itself is exercised compiled on the TPU chip by the benchmarks).
+
+Covers: ragged T (not a multiple of the chunk), ragged N (not a multiple
+of 128), reverse scans, multi-leaf pytrees with distinct mid dims, and the
+REAL smoother semigroups (lane Kalman combine, plane log-matmul-exp)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pyvbmp_tpu.ops.pallas_scan import eligible, pallas_chunked_scan
+
+
+def _add(a, b):
+    return {k: a[k] + b[k] for k in a}
+
+
+@pytest.mark.parametrize("T,N", [(7, 100), (100, 300), (399, 130)])
+@pytest.mark.parametrize("reverse", [False, True])
+def test_matches_associative_scan_add(T, N, reverse):
+    rs = np.random.RandomState(0)
+    elems = {
+        "x": jnp.asarray(rs.randn(T, N), jnp.float32),
+        "m": jnp.asarray(rs.randn(T, 3, 2, N), jnp.float32),
+    }
+    ref = jax.lax.associative_scan(_add, elems, axis=0, reverse=reverse)
+    out = pallas_chunked_scan(_add, elems, reverse=reverse, interpret=True)
+    for k in elems:
+        np.testing.assert_allclose(
+            np.asarray(ref[k]), np.asarray(out[k]), rtol=5e-5, atol=5e-5
+        )
+
+
+def test_matches_on_plane_logmatmulexp():
+    """The role-HMM semigroup in plane layout (T, K, K, N)."""
+    from pyvbmp_tpu.ops.parallel_hmm import _logmatmul_plane
+
+    rs = np.random.RandomState(1)
+    M = jnp.asarray(np.log(rs.dirichlet(np.ones(4), (57, 4, 140))), jnp.float32)
+    M = M.transpose(0, 2, 1, 3).reshape(57, 4, 4, 140)
+    for rev in (False, True):
+        fn = (lambda a, b: _logmatmul_plane(b, a)) if rev else _logmatmul_plane
+        ref = jax.lax.associative_scan(fn, M, axis=0, reverse=rev)
+        out = pallas_chunked_scan(fn, M, reverse=rev, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(out), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_matches_on_lane_kalman_combine():
+    """The Gaussian-potential semigroup in lane component form — the
+    MixLDS/LDS h<=3 hot path."""
+    from pyvbmp_tpu.models import LinearDynamicalSystems
+    from pyvbmp_tpu.ops import parallel_kalman as pk
+    from pyvbmp_tpu.ops import smallmat as sm
+    from pyvbmp_tpu.utils import rng
+
+    rng.seed(0)
+    lds = LinearDynamicalSystems((3,), 2, 0, 0, parallel_scan=True,
+                                 cross_cov_compat=False)
+    y = jax.random.normal(jax.random.key(5), (41, 37, 3))
+    yv, uv, rv = lds.reshape_inputs(y)
+    parms = lds._latent_parms(lds.A)
+    like = lds.log_likelihood_function(lds.obs_model, yv, rv)
+    elems, bshape, T, h = pk._build_elements(parms, lds.x0, like, uv)
+    (Jaa_d, Jab_d, Jbb_d, ha_d, hb_d, logw_d) = elems
+    N = int(np.prod(bshape[:-2]))
+    flat = lambda x: x.reshape((T, N))
+    lane = (
+        {k: flat(v) for k, v in sm.sym_pack(Jaa_d).items()},
+        {k: flat(v) for k, v in sm.gen_pack(Jab_d).items()},
+        {k: flat(v) for k, v in sm.sym_pack(Jbb_d).items()},
+        [flat(v) for v in sm.vec_pack(ha_d)],
+        [flat(v) for v in sm.vec_pack(hb_d)],
+        flat(logw_d),
+    )
+    # lane trees are excluded from AUTO dispatch (all-rank-2) but direct
+    # pallas_chunked_scan calls must still handle them correctly
+    assert not eligible(lane)
+    combine = lambda a, b: pk._combine_lane(h, a, b)
+    ref = jax.lax.associative_scan(combine, lane, axis=0)
+    out = pallas_chunked_scan(combine, lane, interpret=True)
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(out)):
+        scale = np.abs(np.asarray(a)).max() + 1e-9
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 2e-5
+
+
+def test_eligibility_gate():
+    ok = {"a": jnp.zeros((10, 5, 256), jnp.float32)}
+    assert eligible(ok)
+    # mismatched trailing dim
+    bad = {"a": jnp.zeros((10, 5, 256), jnp.float32),
+           "b": jnp.zeros((10, 128), jnp.float32)}
+    assert not eligible(bad)
+    # wrong dtype
+    assert not eligible({"a": jnp.zeros((10, 5, 256), jnp.bfloat16)})
+    # rank-1 leaf
+    assert not eligible({"a": jnp.zeros((10,), jnp.float32)})
+    # all-rank-2 (lane layout): excluded from auto dispatch (runs at 1/8
+    # VPU width; level/chunked scans measured faster on chip)
+    assert not eligible({"a": jnp.zeros((10, 256), jnp.float32)})
