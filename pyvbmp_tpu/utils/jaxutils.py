@@ -148,6 +148,29 @@ def accumulate(old_ss, new_ss, beta):
     return acc, acc
 
 
+def _scatter_dot(A, B, sdims):
+    """``sum over sdims of A[..., :, None] * B[..., None, :]`` expressed as a
+    single ``dot_general`` (contracting the sample axes, batching every other
+    non-event axis) so XLA tiles it onto the MXU instead of fusing a VPU
+    reduce loop.  Measured on the v5e chip (GMM n=1e5 suff stats): the
+    broadcast-reduce form runs at ~100-150 GFLOP/s; this form is matmul-
+    shaped.  precision=HIGHEST keeps f32-accurate accumulation (the default
+    TPU matmul feeds bf16 into the MXU, which would forfeit exactly the
+    precision the centered form exists to protect)."""
+    import jax
+
+    nd = A.ndim
+    sd = tuple(d % nd for d in sdims)
+    batch = tuple(i for i in range(nd - 1) if i not in sd)
+    out = jax.lax.dot_general(
+        A,
+        B,
+        dimension_numbers=((sd, sd), (batch, batch)),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out  # batch + (d_A, d_B)
+
+
 def centered_scatter(X, pv, sdims):
     """Numerically-stable weighted scatter sum: (SExx, SEx, N).
 
@@ -155,7 +178,8 @@ def centered_scatter(X, pv, sdims):
     ``sum_s p_s (x-c)(x-c)^T + N c c^T`` so large means don't destroy float32
     precision (the torch reference accumulates uncentered sums, which loses
     ~3 digits at mean/std ~ 30; this is exact in infinite precision and far
-    better conditioned in f32 — the TPU fast path).
+    better conditioned in f32 — the TPU fast path).  The rank-1-sum is
+    contracted on the MXU via ``_scatter_dot``.
 
     X:  sample + batch + (d,)   (matrix layout, event dim = last axis)
     pv: weights broadcastable against X (or None)
@@ -171,7 +195,7 @@ def centered_scatter(X, pv, sdims):
             nsamp = nsamp * X.shape[d]
         c = SEx / nsamp
         Xc = X - c
-        SExx = (Xc[..., :, None] * Xc[..., None, :]).sum(sdims) + nsamp * (
+        SExx = _scatter_dot(Xc, Xc, sdims) + nsamp * (
             c[..., :, None] * c[..., None, :]
         )
         return SExx, SEx, None
@@ -179,9 +203,9 @@ def centered_scatter(X, pv, sdims):
     SEx = (X * pv).sum(sdims)
     c = SEx / jnp.maximum(N, 1e-20)
     Xc = X - c
-    SExx = (Xc[..., :, None] * Xc[..., None, :] * pv[..., None]).sum(sdims) + N[
-        ..., None
-    ] * (c[..., :, None] * c[..., None, :])
+    SExx = _scatter_dot(Xc * pv, Xc, sdims) + N[..., None] * (
+        c[..., :, None] * c[..., None, :]
+    )
     return SExx, SEx, N
 
 
