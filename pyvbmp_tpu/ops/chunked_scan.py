@@ -190,6 +190,7 @@ def scan_dispatch_state():
         ps.PALLAS_SCAN_MIN_T,
         ps.PALLAS_SCAN_N_TILE,
         ps.PALLAS_SCAN_CHUNK,
+        ps.LANE_FOLD_MIN_N,
     )
 
 

@@ -62,6 +62,11 @@ PALLAS_SCAN_CHUNK = int(os.environ.get("PYVBMP_PALLAS_SCAN_CHUNK", "32"))
 VMEM_BUDGET_BYTES = int(
     os.environ.get("PYVBMP_PALLAS_SCAN_VMEM", str(4 * 1024 * 1024))
 )
+# minimum flattened batch N for folding an all-rank-2 (lane-layout) pytree
+# onto the sublanes: (T, N) -> (T, 8, N/8) fills the full (8, 128) vreg
+# instead of 1/8 of it.  Below this there aren't enough lanes to fold and
+# the level/chunked scans measured faster on chip.
+LANE_FOLD_MIN_N = int(os.environ.get("PYVBMP_PALLAS_LANE_MIN_N", "1024"))
 
 
 def pallas_scan_enabled():
@@ -82,16 +87,30 @@ def _leaf_mid_elems(shape):
     return n
 
 
-def eligible(elems):
-    """All leaves (T,)+mid+(N,) with shared T and N, fp32, T >= 2, and at
-    least one rank >= 3 leaf (the plane-layout signature).
+def _lane_foldable(leaves, N):
+    """An all-rank-2 (lane-layout) pytree with a large, 8-divisible batch
+    can be folded onto the sublanes: (T, N) -> (T, 8, N/8).  The lane
+    combines are elementwise over N, so the reshape is a pure relabeling
+    that lifts the kernel from 1 sublane (1/8 VPU width) to the full
+    (8, 128) vreg."""
+    return (
+        all(l.ndim == 2 for l in leaves)
+        and N % 8 == 0
+        and N >= LANE_FOLD_MIN_N
+    )
 
-    All-rank-2 pytrees (the lane layouts) are excluded from the AUTO
-    dispatch: their rows live on a single sublane after the Mosaic lifting,
-    so the kernel runs at 1/8 VPU width and measured slower than the
-    level/chunked scans (v5e: Kalman lane h=2 T=8192 0.31 ms chunked vs
-    1.13 ms pallas).  Direct calls to pallas_chunked_scan still accept
-    them (used by the correctness tests)."""
+
+def eligible(elems):
+    """All leaves (T,)+mid+(N,) with shared T and N, fp32, T >= 2, and
+    either at least one rank >= 3 leaf (the plane-layout signature) or a
+    sublane-foldable lane layout (all rank-2 with large 8-divisible N).
+
+    Small-N all-rank-2 pytrees are excluded from the AUTO dispatch: their
+    rows live on a single sublane after the Mosaic lifting, so the kernel
+    runs at 1/8 VPU width and measured slower than the level/chunked scans
+    (v5e: Kalman lane h=2 T=8192 b=128 0.31 ms chunked vs 1.13 ms pallas).
+    Direct calls to pallas_chunked_scan still accept them (used by the
+    correctness tests)."""
     leaves = jax.tree_util.tree_leaves(elems)
     if not leaves:
         return False
@@ -106,7 +125,7 @@ def eligible(elems):
         if l.dtype != jnp.float32:
             return False
         plane_like = plane_like or l.ndim >= 3
-    return plane_like
+    return plane_like or _lane_foldable(leaves, N)
 
 
 def _plan(T, N, elem_rows_bytes):
@@ -271,6 +290,14 @@ def pallas_chunked_scan(combine, elems, reverse=False, interpret=None):
     leaves, treedef = jax.tree_util.tree_flatten(elems)
     T = leaves[0].shape[0]
     N = leaves[0].shape[-1]
+    # lane layouts with a large 8-divisible batch: fold onto the sublanes
+    # so each combine op fills the full (8, 128) vreg (elementwise over N,
+    # so the reshape is a relabeling; see _lane_foldable)
+    folded_N = None
+    if _lane_foldable(leaves, N):
+        folded_N = N
+        N = N // 8
+        leaves = [l.reshape(T, 8, N) for l in leaves]
     row_bytes = sum(
         4 * _leaf_mid_elems(l.shape) * N for l in leaves
     )
@@ -294,7 +321,12 @@ def pallas_chunked_scan(combine, elems, reverse=False, interpret=None):
         (combine,), treedef, shapes, T, N, L, n_tile, bool(reverse),
         bool(interpret), lifted_idx,
     )
-    return entry(*leaves)
+    out = entry(*leaves)
+    if folded_N is not None:
+        out = jax.tree_util.tree_map(
+            lambda a: a.reshape(T, folded_N), out
+        )
+    return out
 
 
 __all__ = ["pallas_chunked_scan", "pallas_scan_enabled", "eligible"]

@@ -88,6 +88,67 @@ def test_matches_on_lane_kalman_combine():
         assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 2e-5
 
 
+@pytest.mark.parametrize("reverse", [False, True])
+def test_lane_fold_matches_associative_scan(reverse):
+    """All-rank-2 pytrees with large 8-divisible N take the sublane-folded
+    path ((T, N) -> (T, 8, N/8)); results must be identical to the unfolded
+    semantics."""
+    rs = np.random.RandomState(2)
+    T, N = 37, 1152  # N % 8 == 0, N >= LANE_FOLD_MIN_N; N/8 = 144 ragged vs 128
+    elems = {
+        "m": jnp.asarray(rs.uniform(0.5, 1.5, (T, N)), jnp.float32),
+        "v": jnp.asarray(rs.randn(T, N), jnp.float32),
+    }
+    assert eligible(elems)
+    # composition of affine maps x -> m*x + v (a genuine semigroup)
+    combine = lambda a, b: {"m": b["m"] * a["m"],
+                            "v": b["m"] * a["v"] + b["v"]}
+    ref = jax.lax.associative_scan(combine, elems, axis=0, reverse=reverse)
+    out = pallas_chunked_scan(combine, elems, reverse=reverse, interpret=True)
+    for k in elems:
+        np.testing.assert_allclose(
+            np.asarray(ref[k]), np.asarray(out[k]), rtol=5e-5, atol=5e-5
+        )
+
+
+def test_lane_fold_on_lane_kalman_combine():
+    """The folded path on the REAL lane Kalman semigroup (MixLDS/LDS h<=3
+    at large batch — the HBM-bound tail this path exists for)."""
+    from pyvbmp_tpu.models import LinearDynamicalSystems
+    from pyvbmp_tpu.ops import parallel_kalman as pk
+    from pyvbmp_tpu.ops import smallmat as sm
+    from pyvbmp_tpu.utils import rng
+
+    rng.seed(0)
+    lds = LinearDynamicalSystems((3,), 2, 0, 0, parallel_scan=True,
+                                 cross_cov_compat=False)
+    y = jax.random.normal(jax.random.key(7), (9, 1040, 3))
+    yv, uv, rv = lds.reshape_inputs(y)
+    parms = lds._latent_parms(lds.A)
+    like = lds.log_likelihood_function(lds.obs_model, yv, rv)
+    elems, bshape, T, h = pk._build_elements(parms, lds.x0, like, uv)
+    (Jaa_d, Jab_d, Jbb_d, ha_d, hb_d, logw_d) = elems
+    N = int(np.prod(bshape[:-2]))
+    assert N % 8 == 0 and N >= 1024
+    flat = lambda x: x.reshape((T, N))
+    lane = (
+        {k: flat(v) for k, v in sm.sym_pack(Jaa_d).items()},
+        {k: flat(v) for k, v in sm.gen_pack(Jab_d).items()},
+        {k: flat(v) for k, v in sm.sym_pack(Jbb_d).items()},
+        [flat(v) for v in sm.vec_pack(ha_d)],
+        [flat(v) for v in sm.vec_pack(hb_d)],
+        flat(logw_d),
+    )
+    assert eligible(lane)
+    combine = lambda a, b: pk._combine_lane(h, a, b)
+    ref = jax.lax.associative_scan(combine, lane, axis=0)
+    out = pallas_chunked_scan(combine, lane, interpret=True)
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(out)):
+        scale = np.abs(np.asarray(a)).max() + 1e-9
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 2e-5
+
+
 def test_eligibility_gate():
     ok = {"a": jnp.zeros((10, 5, 256), jnp.float32)}
     assert eligible(ok)
@@ -99,6 +160,10 @@ def test_eligibility_gate():
     assert not eligible({"a": jnp.zeros((10, 5, 256), jnp.bfloat16)})
     # rank-1 leaf
     assert not eligible({"a": jnp.zeros((10,), jnp.float32)})
-    # all-rank-2 (lane layout): excluded from auto dispatch (runs at 1/8
-    # VPU width; level/chunked scans measured faster on chip)
+    # small-N all-rank-2 (lane layout): excluded from auto dispatch (runs
+    # at 1/8 VPU width; level/chunked scans measured faster on chip)
     assert not eligible({"a": jnp.zeros((10, 256), jnp.float32)})
+    # large 8-divisible N: lane layouts fold onto the sublanes -> eligible
+    assert eligible({"a": jnp.zeros((10, 1024), jnp.float32)})
+    # large but not 8-divisible: can't reshape, stays excluded
+    assert not eligible({"a": jnp.zeros((10, 1028), jnp.float32)})
