@@ -10,14 +10,23 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from pyvbmp_tpu.ops import pallas_scan
 from pyvbmp_tpu.ops.pallas_scan import eligible, pallas_chunked_scan
+
+
+@pytest.fixture(autouse=True)
+def _small_chunk(monkeypatch):
+    """Shrink the time-chunk so multi-chunk + ragged-tail branches are
+    covered at a fraction of the interpret-mode cost (cost ~ N_tiles * T;
+    branch coverage only needs C > 1 and T % L != 0, not the prod sizes)."""
+    monkeypatch.setattr(pallas_scan, "PALLAS_SCAN_CHUNK", 8)
 
 
 def _add(a, b):
     return {k: a[k] + b[k] for k in a}
 
 
-@pytest.mark.parametrize("T,N", [(7, 100), (100, 300), (399, 130)])
+@pytest.mark.parametrize("T,N", [(7, 100), (16, 130), (20, 300)])
 @pytest.mark.parametrize("reverse", [False, True])
 def test_matches_associative_scan_add(T, N, reverse):
     rs = np.random.RandomState(0)
@@ -38,8 +47,8 @@ def test_matches_on_plane_logmatmulexp():
     from pyvbmp_tpu.ops.parallel_hmm import _logmatmul_plane
 
     rs = np.random.RandomState(1)
-    M = jnp.asarray(np.log(rs.dirichlet(np.ones(4), (57, 4, 140))), jnp.float32)
-    M = M.transpose(0, 2, 1, 3).reshape(57, 4, 4, 140)
+    M = jnp.asarray(np.log(rs.dirichlet(np.ones(4), (20, 4, 140))), jnp.float32)
+    M = M.transpose(0, 2, 1, 3).reshape(20, 4, 4, 140)
     for rev in (False, True):
         fn = (lambda a, b: _logmatmul_plane(b, a)) if rev else _logmatmul_plane
         ref = jax.lax.associative_scan(fn, M, axis=0, reverse=rev)
@@ -60,7 +69,7 @@ def test_matches_on_lane_kalman_combine():
     rng.seed(0)
     lds = LinearDynamicalSystems((3,), 2, 0, 0, parallel_scan=True,
                                  cross_cov_compat=False)
-    y = jax.random.normal(jax.random.key(5), (41, 37, 3))
+    y = jax.random.normal(jax.random.key(5), (20, 37, 3))
     yv, uv, rv = lds.reshape_inputs(y)
     parms = lds._latent_parms(lds.A)
     like = lds.log_likelihood_function(lds.obs_model, yv, rv)
@@ -94,7 +103,7 @@ def test_lane_fold_matches_associative_scan(reverse):
     path ((T, N) -> (T, 8, N/8)); results must be identical to the unfolded
     semantics."""
     rs = np.random.RandomState(2)
-    T, N = 37, 1152  # N % 8 == 0, N >= LANE_FOLD_MIN_N; N/8 = 144 ragged vs 128
+    T, N = 20, 1152  # N % 8 == 0, N >= LANE_FOLD_MIN_N; N/8 = 144 ragged vs 128
     elems = {
         "m": jnp.asarray(rs.uniform(0.5, 1.5, (T, N)), jnp.float32),
         "v": jnp.asarray(rs.randn(T, N), jnp.float32),

@@ -12,7 +12,7 @@ from pyvbmp_tpu.transforms.bayesian_transformers import (
 from pyvbmp_tpu.utils import rng
 
 
-def _mixture_data(num_samples=96, num_obs=10, mixture_dim=8, hidden_dim=2, obs_dim=2):
+def _mixture_data(num_samples=64, num_obs=6, mixture_dim=4, hidden_dim=2, obs_dim=2):
     rs = np.random.RandomState(0)
     X = rs.randn(num_samples, mixture_dim, hidden_dim)
     z = rs.rand(num_samples, mixture_dim).argmax(-1)
@@ -25,9 +25,9 @@ def test_generative_bayesian_transformer_updates():
     rng.seed(0)
     Y = _mixture_data()
     m = GenerativeBayesianTransformer(
-        mixture_dim=8, role_dim=4, obs_dim=2, hidden_dim=2, pad_X=True
+        mixture_dim=4, role_dim=3, obs_dim=2, hidden_dim=2, pad_X=True
     )
-    m.raw_update(Y, iters=4)
+    m.raw_update(Y, iters=3)
     elbos = np.asarray(m.ELBO_save)
     assert np.isfinite(elbos).all()
     assert elbos[-1] > elbos[0]
@@ -37,7 +37,7 @@ def test_focused_bayesian_transformer_updates():
     rng.seed(0)
     Y = _mixture_data()
     m = FocusedBayesianTransformer(
-        mixture_dim=8, role_dim=4, obs_dim=2, hidden_dim=2, pad_X=True
+        mixture_dim=4, role_dim=3, obs_dim=2, hidden_dim=2, pad_X=True
     )
     # 2 sweeps suffice: this test asserts finiteness, not convergence, and
     # the stack updates eagerly (each extra sweep is ~6 s of 1-core dispatch)
