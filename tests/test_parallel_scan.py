@@ -240,7 +240,10 @@ def test_driven_hmm_lane_form_equals_dense():
 # Flocking north star needs (h = K = 14); O(1) HLO ops per matmul means it
 # compiles quickly even at h=14, so the production config is checked here.
 
-@pytest.mark.parametrize("h", [2, 5, 14])
+@pytest.mark.parametrize(
+    "h",
+    [2, 5, pytest.param(14, marks=pytest.mark.slow)],
+)
 def test_kalman_plane_form_equals_dense(h):
     from pyvbmp_tpu.ops.parallel_kalman import parallel_kalman_smoother
 
