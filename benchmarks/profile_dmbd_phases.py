@@ -91,15 +91,15 @@ def main():
             regression_dim=-1, control_dim=-1, parallel_scan=True,
         )
     else:
-        from pyvbmp_tpu.simulations.flocking import simulate_flocking
+        # same config as benchmarks/flocking_bench.py (the north star)
+        from pyvbmp_tpu.simulations import Flocking
 
         T, b = 150, 20
-        data = np.asarray(simulate_flocking(batch=b, T=T, key=jax.random.key(0)),
-                          np.float32)
+        sim = Flocking(n_birds=12, Tmax=T, batch_size=b)
+        data = np.asarray(sim.simulate(jax.random.key(0)), np.float32)
         m = DynamicMarkovBlanketDiscovery(
-            obs_shape=data.shape[-2:], role_dims=(4, 4, 4), hidden_dims=(4, 4, 4),
-            number_of_objects=3, regression_dim=-1, control_dim=-1,
-            parallel_scan=True,
+            obs_shape=data.shape[-2:], role_dims=(2, 2, 2), hidden_dims=(2, 2, 2),
+            number_of_objects=3, parallel_scan=True,
         )
 
     y, u, r = m.reshape_inputs(data)
@@ -168,7 +168,8 @@ def main():
                        (pxt, Sigma_cross, Sigma_x0_cross, Sigma_x0_x0, mu_x0,
                         y, u, r, logZ))
 
-    # phase 6: all M-steps (role + latent + transition)
+    # phase 6: all M-steps (role + latent + transition). Return FULL pytrees
+    # so XLA cannot dead-code-eliminate the natural-parameter updates.
     def msteps(B, p, SEzz, SEz0, x0, A, ss, pxt, y, r):
         transition2 = transition.ss_update(SEzz, lr=1.0)
         initial2 = initial.ss_update(SEz0, lr=1.0)
@@ -177,7 +178,7 @@ def main():
         XRY = (px4r, jnp.expand_dims(r, -unsdim), jnp.expand_dims(y, -unsdim))
         B2 = om._obs_update(B, XRY, p, 1.0, None)
         x02, A2, stats = m._ss_update(x0, A, ss, p=None, lr=1.0)
-        return transition2.alpha, initial2.alpha, B2.mu, x02.mu, A2.mu
+        return transition2, initial2, B2, x02, A2
 
     keep = om.batch_dim + om.event_dim
     from pyvbmp_tpu.utils.jaxutils import sum_leading
@@ -189,7 +190,32 @@ def main():
     sl_ms = time_phase("all M-steps", msteps,
                        (B, p_full, SEzz, SEz0, x0, A, ss, pxt, y, r))
 
-    total = sl_logits + sl_fb + sl_like + sl_sm + sl_ss + sl_ms
+    # phase 7: ELBO bookkeeping (KL chains + entropy/transition contribs)
+    from pyvbmp_tpu.utils.jaxutils import sum_leading as _sl
+
+    def elbo_tail(B, p, SEzz, SEz0, x0, A, logZ):
+        KL = x0.KLqprior() + A.KLqprior()
+        for _ in range(len(m.offset)):
+            if KL.ndim > 0:
+                KL = KL[..., 0] if KL.shape[-1] == 1 else KL
+        KL = KL + (
+            B.KLqprior().sum(-1)
+            + transition.KLqprior().sum(-1)
+            + initial.KLqprior()
+        )
+        lgm = transition.loggeomean()
+        contrib = jnp.where(jnp.isfinite(lgm), lgm * SEzz, 0.0).sum()
+        contrib = contrib + (initial.loggeomean() * SEz0).sum()
+        contrib = contrib - jnp.where(
+            p > 1e-8, p * jnp.log(jnp.where(p > 1e-8, p, 1.0)), 0.0
+        ).sum()
+        return _sl(logZ, m.batch_dim).sum() - KL.sum() + contrib
+
+    logZ_ss = ss["logZ"]
+    sl_elbo = time_phase("ELBO bookkeeping", elbo_tail,
+                         (B, p_full, SEzz, SEz0, x0, A, logZ_ss))
+
+    total = sl_logits + sl_fb + sl_like + sl_sm + sl_ss + sl_ms + sl_elbo
     print(f"{'sum of phases':34s} {total*1e3:8.3f} ms")
 
     # full fused sweep slope for comparison

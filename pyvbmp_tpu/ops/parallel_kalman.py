@@ -61,6 +61,26 @@ PLANE_KALMAN_MAX_H = int(os.environ.get("PYVBMP_PLANE_KALMAN_MAX_H", "32"))
 # 0.4% bf16 relative error there would corrupt logZ/ELBO absolutely.
 SCAN_ELEM_DTYPE = os.environ.get("PYVBMP_SCAN_ELEM_DTYPE", "float32")
 
+# Dual-direction scan: at small flattened batch N the scans are
+# latency-bound (the Pallas kernel walks T combines sequentially on lane
+# tiles that are mostly empty — flocking: N=20 of 128 lanes), so the prefix
+# and suffix chains are stacked along the lanes and run as ONE scan using
+# the semigroup transpose identity tau(e1 o e2) = tau(e2) o tau(e1)
+# (tau swaps the a/b slots and transposes Jab): the flipped-transposed
+# chain's forward prefixes ARE the suffixes, transposed.  Above
+# DUAL_SCAN_MAX_N the stack spills into extra lane tiles and the win
+# disappears (2N > 128), so the gate defaults to 64.
+DUAL_SCAN = os.environ.get("PYVBMP_DUAL_SCAN", "auto")
+DUAL_SCAN_MAX_N = int(os.environ.get("PYVBMP_DUAL_SCAN_MAX_N", "64"))
+
+
+def _dual_scan_enabled(n):
+    if DUAL_SCAN == "0":
+        return False
+    if DUAL_SCAN == "1":
+        return True
+    return n <= DUAL_SCAN_MAX_N
+
 
 def _quantize_elems(elems, dtype):
     """Cast the J/h element leaves (positions 0-4) to ``dtype``; keep logw."""
@@ -86,10 +106,43 @@ def _mixed_precision_combine(combine, dtype):
     return f
 
 
-def _scan_pair(combine, elems):
+def _scan_pair(combine, elems, transpose=None, batch_n=None):
     """Prefix + suffix scans of the pairwise-potential chain, optionally with
-    bf16 level storage (SCAN_ELEM_DTYPE). Returns f32 potentials."""
+    bf16 level storage (SCAN_ELEM_DTYPE). Returns f32 potentials.
+
+    When the layout provides a semigroup ``transpose`` (tau with
+    tau(e1 o e2) = tau(e2) o tau(e1)) and the flattened batch ``batch_n``
+    is small (see DUAL_SCAN), both directions ride ONE scan: stack
+    [elems, flip_T(tau(elems))] along the lanes, scan forward once, and
+    un-transpose the second half — suffix_t = tau(fwd_{T-1-t}).  Per-lane
+    arithmetic is identical to the two separate scans."""
     dtype = SCAN_ELEM_DTYPE
+    if (
+        transpose is not None
+        and batch_n is not None
+        and _dual_scan_enabled(batch_n)
+    ):
+        tmap = jax.tree_util.tree_map
+        flip = lambda t: tmap(lambda x: jnp.flip(x, 0), t)
+        stacked = tmap(
+            lambda a, b: jnp.concatenate([a, b], -1),
+            elems,
+            flip(transpose(elems)),
+        )
+        if dtype == "float32":
+            both = auto_scan(combine, stacked)
+        else:
+            dt = jnp.dtype(dtype)
+            both = _dequantize_elems(
+                auto_scan(
+                    _mixed_precision_combine(combine, dt),
+                    _quantize_elems(stacked, dt),
+                )
+            )
+        take = lambda sl: tmap(lambda x: x[..., sl], both)
+        prefix = take(slice(None, batch_n))
+        suffix = transpose(flip(take(slice(batch_n, None))))
+        return prefix, suffix
     if dtype == "float32":
         prefix = auto_scan(combine, elems)
         suffix = auto_scan(lambda a, b: combine(b, a), elems, reverse=True)
@@ -468,6 +521,16 @@ def _marginalize_right_plane(e):
     return J, hv, logc
 
 
+def _transpose_plane(e):
+    """Semigroup transpose tau for plane elements: swap the a/b slots and
+    transpose the coupling — tau(e1 o e2) = tau(e2) o tau(e1) (check it
+    against _combine_plane: M, hmid and w are symmetric under the swap)."""
+    from . import planemat as pm
+
+    Jaa, Jab, Jbb, ha, hb, w = e
+    return (Jbb, pm.bT(Jab), Jaa, hb, ha, w)
+
+
 def _plane_smoother(elems, bshape, T, h):
     from . import planemat as pm
 
@@ -484,16 +547,54 @@ def _plane_smoother(elems, bshape, T, h):
     logw = logw_d.reshape(T, N)
     elems_p = (Jaa, Jab, Jbb, ha, hb, logw)
 
-    prefix, suffix = _scan_pair(_combine_plane, elems_p)
+    prefix, suffix = _scan_pair(
+        _combine_plane, elems_p, transpose=_transpose_plane, batch_n=N
+    )
 
-    Ja, hva, logca = _marginalize_left_plane(prefix)
-    Jb_all, hvb_all, _ = _marginalize_right_plane(suffix)
+    # ---- post-scan algebra in T-folded layout.  Everything below is
+    # elementwise over (t, n), so T folds onto the lanes: the scan layout's
+    # (w, N) minor tiles fill ~(h/8 x N/128) of the vreg — 14% at the
+    # flocking shape (w=14, N=20) — while (h, w, N*T) planes run at full
+    # width.  Measured: flocking post-scan 0.92 -> ~0.2 ms.
+    def fold_m(a):  # (T, h, w, N) -> (h, w, N*T), T minor
+        return a.transpose(1, 2, 3, 0).reshape(a.shape[1], a.shape[2], -1)
 
-    def shift_up(a):
-        return jnp.concatenate([a[1:], jnp.zeros_like(a[:1])], 0)
+    def fold_v(a):  # (T, h, N) -> (h, N*T)
+        return a.transpose(1, 2, 0).reshape(a.shape[1], -1)
 
-    Jbeta = shift_up(Jb_all)
-    hbeta = shift_up(hvb_all)
+    def fold_s(a):  # (T, N) -> (N*T,)
+        return a.transpose(1, 0).reshape(-1)
+
+    def fold_e(e):
+        return tuple(
+            f(x)
+            for f, x in zip((fold_m, fold_m, fold_m, fold_v, fold_v, fold_s), e)
+        )
+
+    def tshift(a, up):
+        """Shift the folded T axis: up=True drops t=0 and zero-fills the
+        tail (a_t <- a_{t+1}); up=False prepends zeros (a_t <- a_{t-1})."""
+        x = a.reshape(a.shape[:-1] + (N, T))
+        z = jnp.zeros_like(x[..., :1])
+        x = (
+            jnp.concatenate([x[..., 1:], z], -1)
+            if up
+            else jnp.concatenate([z, x[..., :-1]], -1)
+        )
+        return x.reshape(a.shape)
+
+    def tslice(a, t):
+        return a.reshape(a.shape[:-1] + (N, T))[..., t]
+
+    pf = fold_e(prefix)
+    sf = fold_e(suffix)
+    Jaa_f, Jab_f, Jbb_f = fold_m(Jaa), fold_m(Jab), fold_m(Jbb)
+
+    Ja, hva, logca = _marginalize_left_plane(pf)
+    Jb_all, hvb_all, _ = _marginalize_right_plane(sf)
+
+    Jbeta = tshift(Jb_all, up=True)
+    hbeta = tshift(hvb_all, up=True)
 
     # smoothed marginals
     Js = Ja + Jbeta
@@ -502,38 +603,47 @@ def _plane_smoother(elems, bshape, T, h):
     mu = pm.bmv(Sigma, hs)
 
     # prior-side marginal q(x_{-1})
-    Sigma_x0_x0, _ = pm.bsym_inv_and_logdet(Jb_all[:1])
-    mu_x0 = pm.bmv(Sigma_x0_x0, hvb_all[:1])
+    Sigma_x0_x0, _ = pm.bsym_inv_and_logdet(tslice(Jb_all, 0))
+    mu_x0 = pm.bmv(Sigma_x0_x0, tslice(hvb_all, 0))
 
     # pairwise cross-covariances Sigma_{t-1,t}
-    Jalpha_prev = jnp.concatenate([jnp.zeros_like(Ja[:1]), Ja[:-1]], 0)
-    A = Jalpha_prev + Jaa
-    D = Jbb + Jbeta
+    Jalpha_prev = tshift(Ja, up=False)
+    A = Jalpha_prev + Jaa_f
+    D = Jbb_f + Jbeta
     Ainv, _ = pm.bsym_inv_and_logdet(A)
-    Ainv_B = pm.bmm(Ainv, Jab)
-    Sbb, _ = pm.bsym_inv_and_logdet(pm.bsym(D - pm.bmm(Jab, Ainv_B, t_a=True)))
+    Ainv_B = pm.bmm(Ainv, Jab_f)
+    Sbb, _ = pm.bsym_inv_and_logdet(pm.bsym(D - pm.bmm(Jab_f, Ainv_B, t_a=True)))
     Sigma_cross_all = -pm.bmm(Ainv_B, Sbb)
 
     # total logZ from the last filtered potential
-    JaInv, logdetJ = pm.bsym_inv_and_logdet(Ja[-1:])
-    sol = pm.bmv(JaInv, hva[-1:])
+    JaInv, logdetJ = pm.bsym_inv_and_logdet(tslice(Ja, T - 1))
+    hvaT = tslice(hva, T - 1)
+    sol = pm.bmv(JaInv, hvaT)
     logZ_total = (
-        logca[-1]
-        + 0.5 * pm.bvdot(hva[-1:], sol)[0]
-        - 0.5 * logdetJ[0]
+        tslice(logca, T - 1)
+        + 0.5 * pm.bvdot(hvaT, sol)
+        - 0.5 * logdetJ
         + 0.5 * h * um.LOG2PI
     )
 
+    def unfold_m(a):  # (h, w, N*T) -> (T, h, w, N)
+        return a.reshape(a.shape[0], a.shape[1], N, T).transpose(3, 0, 1, 2)
+
+    def unfold_v(a):  # (h, N*T) -> (T, h, N)
+        return a.reshape(a.shape[0], N, T).transpose(2, 0, 1)
+
     bout = bshape[:-2]
-    Sigma_d = pm.unpack(Sigma, bout)
-    mu_d = pm.unpack_vec(mu, bout)
-    Js_d = pm.unpack(Js, bout)
-    hs_d = pm.unpack_vec(hs, bout)
-    Sigma_cross_d = pm.unpack(Sigma_cross_all, bout)
+    Sigma_d = pm.unpack(unfold_m(Sigma), bout)
+    mu_d = pm.unpack_vec(unfold_v(mu), bout)
+    Js_d = pm.unpack(unfold_m(Js), bout)
+    hs_d = pm.unpack_vec(unfold_v(hs), bout)
+    Sigma_cross_d = pm.unpack(unfold_m(Sigma_cross_all), bout)
     Sigma_x0_cross = Sigma_cross_d[0]
     Sigma_cross = Sigma_cross_d[1:]
-    Sigma_x0_x0_d = pm.unpack(Sigma_x0_x0, bout)[0]
-    mu_x0_d = pm.unpack_vec(mu_x0, bout)[0]
+    Sigma_x0_x0_d = Sigma_x0_x0.transpose(2, 0, 1).reshape(
+        tuple(bout) + (h, h)
+    )
+    mu_x0_d = mu_x0.transpose(1, 0).reshape(tuple(bout) + (h, 1))
     logZ_d = logZ_total.reshape(bout)
     return (
         (Sigma_d, mu_d, Js_d, hs_d),
@@ -602,6 +712,8 @@ def _dispatch_state():
         SCAN_ELEM_DTYPE,
         LANE_KALMAN_MAX_H,
         PLANE_KALMAN_MAX_H,
+        DUAL_SCAN,
+        DUAL_SCAN_MAX_N,
         ph.LANE_HMM_MAX_K,
         ph.PLANE_HMM_MAX_K,
     ) + scan_dispatch_state()
