@@ -87,9 +87,10 @@ class ARHMM_prXY(HMM):
         invSigma_x_x = px.EinvSigma()
         invSigmamu_x = px.EinvSigmamu()
         if self.p is not None:
-            pv = self.p[..., None, None]
-            invSigma_x_x = (invSigma_x_x * pv).sum(-3)
-            invSigmamu_x = (invSigmamu_x * pv).sum(-3)
+            from ..utils.jaxutils import brole_avg
+
+            invSigma_x_x = brole_avg(invSigma_x_x, self.p)
+            invSigmamu_x = brole_avg(invSigmamu_x, self.p)
             Res = (Res * self.p).sum(-1)
         return invSigma_x_x, invSigmamu_x, Res
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..dists import NormalInverseWishart
 from ..dists.mvn_vector_format import MultivariateNormal_vector_format as MVN_vf
 from ..transforms import MatrixNormalGamma
-from ..utils.jaxutils import replace, sum_leading
+from ..utils.jaxutils import brole_avg, replace, sum_leading
 from ..utils.linalg import psd_inv_and_logdet
 from .arhmm import ARHMM_prXRY
 from .lds import LinearDynamicalSystems
@@ -662,8 +662,9 @@ def _arhmm_elog_like_X(om, B, YR, p):
         invSigma_xr_xr[..., p1:, p1:] * (R * mT(R))
     ).sum((-1, -2))
     Residual = Residual + (invSigmamu_xr[..., p1:, :] * R).sum((-1, -2))
-    pv = p[..., None, None]
-    invSigma_x_x = (invSigma_x_x * pv).sum(-3)
-    invSigmamu_x = (invSigmamu_x * pv).sum(-3)
+    # role averages on the MXU: invSigma_x_x is param-only ((roles, p1, p1)),
+    # so its average is one (samples, roles) @ (roles, p1^2) matmul
+    invSigma_x_x = brole_avg(invSigma_x_x, p)
+    invSigmamu_x = brole_avg(invSigmamu_x, p)
     Residual = (Residual * p).sum(-1)
     return invSigma_x_x, invSigmamu_x, Residual

@@ -16,7 +16,7 @@ import jax.random as jr
 from ..dists.wishart import Wishart
 from ..dists.mvn_vector_format import MultivariateNormal_vector_format as MVN_vf
 from ..utils import math as um
-from ..utils.jaxutils import pytree_dataclass, replace
+from ..utils.jaxutils import bcontract_pp, pytree_dataclass, replace
 from ..utils.linalg import (
     block_precision_marginalizer,
     mT,
@@ -303,6 +303,11 @@ class MatrixNormalWishart:
         else:
             pv = p.reshape(p.shape + self.event_dim * (1,))
             N = p.sum(sdims)
+            # NOTE: a dot_general form of these p-weighted sums was measured
+            # SLOWER on the chip (DMBD role M-step 0.52 -> 3.0 ms): the
+            # matmul forces materializing the per-sample EXXT that the
+            # broadcast-reduce fuses away, and the (roles, samples) operand
+            # is too skinny (M=14) to pay for the MXU pass.
             SExx = (pX.EXXT() * pv).sum(sdims)
             SEyy = (pY.EXXT() * pv).sum(sdims)
             SEyx = ((pY.EX() @ mT(pX.EX())) * pv).sum(sdims)
@@ -357,19 +362,23 @@ class MatrixNormalWishart:
         return ELL
 
     def Elog_like_given_pX_pY(self, pX, pY):
-        ELL = -0.5 * (pY.EXXT() * self.EinvSigma()).sum((-1, -2))
+        # the two trace terms are per-component channel contractions — one
+        # MXU dot_general each over the flattened event matrix (bcontract_pp)
+        # instead of a (roles, p, p)-broadcast VPU reduce; this is the DMBD
+        # obs-logits hot path (roles x obs x T likelihood assembly)
+        ELL = -0.5 * bcontract_pp(pY.EXXT(), self.EinvSigma())
         if self.pad_X:
             EinvUX = self.EinvUX()
             EXTinvUX = self.EXTinvUX()
             ELL = ELL + (
                 mT(pY.mean()) @ (EinvUX[..., :, :-1] @ pX.mean() + EinvUX[..., :, -1:])
             )[..., 0, 0]
-            ELL = ELL - 0.5 * (pX.EXXT() * EXTinvUX[..., :-1, :-1]).sum((-1, -2))
+            ELL = ELL - 0.5 * bcontract_pp(pX.EXXT(), EXTinvUX[..., :-1, :-1])
             ELL = ELL - (EXTinvUX[..., -1:, :-1] @ pX.mean())[..., 0, 0]
             ELL = ELL - 0.5 * EXTinvUX[..., -1, -1]
         else:
             ELL = ELL + (mT(pY.mean()) @ self.EinvUX() @ pX.mean())[..., 0, 0]
-            ELL = ELL - 0.5 * (pX.EXXT() * self.EXTinvUX()).sum((-1, -2))
+            ELL = ELL - 0.5 * bcontract_pp(pX.EXXT(), self.EXTinvUX())
         ELL = ELL + 0.5 * self.invU.ElogdetinvSigma() - 0.5 * self.n * um.LOG2PI
         for _ in range(self.event_dim - 2):
             ELL = ELL.sum(-1)

@@ -171,6 +171,54 @@ def _scatter_dot(A, B, sdims):
     return out  # batch + (d_A, d_B)
 
 
+def bcontract_pp(X, W):
+    """``(X * W).sum((-1, -2))`` where W is a param-batched matrix stack
+    (B..., p, q) and X carries broadcast 1s at every B position — the
+    mixture/role pattern of every per-component expected log-likelihood
+    (reference MatrixNormalWishart.py:234-249, NormalInverseWishart.py:91-97
+    consumers).  Lowered to ONE dot_general over the flattened p*q channel
+    so XLA tiles it onto the MXU instead of fusing a (B, p, q)-broadcast
+    VPU reduce loop; precision=HIGHEST keeps f32 accumulation (default TPU
+    matmul feeds bf16 into the MXU).  Falls back to the broadcast-reduce
+    form whenever the shapes don't match the pattern."""
+    import jax
+    import jax.numpy as jnp
+
+    k = W.ndim - 2
+    if (
+        k < 1
+        or X.ndim < W.ndim
+        or X.shape[-2:] != W.shape[-2:]
+        or any(s != 1 for s in X.shape[-2 - k : -2])
+    ):
+        return (X * W).sum((-1, -2))
+    rows = X.reshape(X.shape[: -2 - k] + (X.shape[-2] * X.shape[-1],))
+    cols = W.reshape((-1, W.shape[-2] * W.shape[-1]))
+    out = jnp.matmul(rows, cols.T, precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(out.shape[:-1] + W.shape[:-2])
+
+
+def brole_avg(M, p):
+    """``sum_k p[..., k] * M[..., k, :, :]`` — the role/component average of
+    per-component matrix messages (reference ARHMM.py:46-52, 79-91).  When M
+    is param-only (one (K, i, j) stack shared by every sample), this is ONE
+    (samples, K) @ (K, i*j) matmul on the MXU; otherwise a batched einsum.
+    precision=HIGHEST (default TPU matmul feeds bf16 into the MXU)."""
+    import jax
+    import jax.numpy as jnp
+
+    K = p.shape[-1]
+    if M.ndim == 3 and M.shape[0] == K:
+        rows = p.reshape((-1, K))
+        out = jnp.matmul(
+            rows, M.reshape((K, -1)), precision=jax.lax.Precision.HIGHEST
+        )
+        return out.reshape(p.shape[:-1] + M.shape[-2:])
+    return jnp.einsum(
+        "...kij,...k->...ij", M, p, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def centered_scatter(X, pv, sdims):
     """Numerically-stable weighted scatter sum: (SExx, SEx, N).
 
