@@ -8,7 +8,7 @@ import jax.random as jr
 
 from .wishart import Wishart
 from ..utils import math as um
-from ..utils.jaxutils import pytree_dataclass, replace
+from ..utils.jaxutils import bquad, pytree_dataclass, replace
 from ..utils.rng import key_or_next
 
 
@@ -146,8 +146,10 @@ class NormalInverseWishart:
         return self.ss_update(SExx, SEx, N, lr, beta)
 
     def Elog_like(self, X):
+        # per-cluster quadratic form on the MXU (the mixture/HMM E-step hot
+        # pattern — reference NormalInverseWishart.py:91-97)
         out = (
-            -0.5 * ((X[..., None] * self.EinvSigma()).sum(-2) * X).sum(-1)
+            -0.5 * bquad(X, self.EinvSigma())
             + (X * self.EinvSigmamu()).sum(-1)
             - 0.5 * self.EXTinvUX()
         )

@@ -219,6 +219,40 @@ def brole_avg(M, p):
     )
 
 
+def bquad(X, W):
+    """Per-component quadratic form ``x^T W_k x``: X is (..., B-broadcast-1s,
+    d), W is (B..., d, d); returns (..., B...).  Lowered as ONE
+    (samples, d) @ (d, B*d) MXU matmul followed by a light elementwise
+    reduce — the E-step hot pattern of every mixture/HMM observation
+    likelihood (reference NormalInverseWishart.py:91-97) — instead of a
+    (B, d, d)-broadcast VPU loop.  No n*d^2 intermediate is materialized
+    (safe at d=128).  Falls back to the broadcast-reduce form when the
+    shapes don't match the pattern."""
+    import jax
+    import jax.numpy as jnp
+
+    k = W.ndim - 2
+    d = W.shape[-1]
+    if (
+        k < 1
+        or W.shape[-2] != d
+        or X.ndim < W.ndim - 1
+        or X.shape[-1] != d
+        or any(s != 1 for s in X.shape[-1 - k : -1])
+    ):
+        return ((X[..., None] * W).sum(-2) * X).sum(-1)
+    lead = X.shape[: -1 - k]
+    rows = X.reshape(lead + (d,))
+    Bf = 1
+    for s in W.shape[:-2]:
+        Bf *= s
+    Wm = W.reshape((Bf, d, d)).transpose(1, 0, 2).reshape((d, Bf * d))
+    Z = jnp.matmul(rows, Wm, precision=jax.lax.Precision.HIGHEST)
+    Z = Z.reshape(lead + (Bf, d))
+    out = (Z * rows[..., None, :]).sum(-1)
+    return out.reshape(lead + W.shape[:-2])
+
+
 def centered_scatter(X, pv, sdims):
     """Numerically-stable weighted scatter sum: (SExx, SEx, N).
 
