@@ -33,15 +33,27 @@ def make_timer():
 
     def time_phase(name, fn, args, reps=(20, 120)):
         leaves, treedef = jax.tree_util.tree_flatten(args)
-        idx = _first_float(leaves)
 
         def body(c, _):
-            pert = list(leaves)
-            pert[idx] = pert[idx] + c
+            # Perturb EVERY float input leaf: if the carry-dependent leaf
+            # doesn't feed the phase's output, the body is loop-invariant
+            # and XLA hoists it out of the rep scan (slope then reads ~0).
+            pert = [
+                l + jnp.asarray(c, l.dtype)
+                if np.issubdtype(np.dtype(l.dtype), np.floating)
+                else l
+                for l in leaves
+            ]
             out = fn(*jax.tree_util.tree_unflatten(treedef, pert))
-            oleaves = jax.tree_util.tree_leaves(out)
-            j = _first_float(oleaves)
-            s = jnp.asarray(oleaves[j], jnp.float32).reshape(-1)[0]
+            # The carry must depend on EVERY output leaf: depending on a
+            # single element lets XLA dead-code-eliminate all computation
+            # not feeding that element (elementwise phases then measure ~0).
+            # The full-leaf reductions add one read pass per output — a
+            # small, uniform bias.
+            s = jnp.float32(0.0)
+            for l in jax.tree_util.tree_leaves(out):
+                if np.issubdtype(np.dtype(l.dtype), np.floating):
+                    s = s + jnp.asarray(l, jnp.float32).sum()
             return s * 1e-38, None
 
         times = {}
@@ -83,7 +95,7 @@ def main():
         from pyvbmp_tpu.simulations import Lorenz
 
         sim = Lorenz()
-        T, b = 399, 100
+        T, b = 399, int(sys.argv[2]) if len(sys.argv) > 2 else 100
         sim.num_steps = T * 5 + 6
         data = np.asarray(sim.simulate(b, key=jax.random.key(0))[:T], np.float32)
         m = DynamicMarkovBlanketDiscovery(
