@@ -191,6 +191,10 @@ def scan_dispatch_state():
         ps.PALLAS_SCAN_N_TILE,
         ps.PALLAS_SCAN_CHUNK,
         ps.LANE_FOLD_MIN_N,
+        ps.TIME_FOLD,
+        ps.TIME_FOLD_MAX_N,
+        ps.TIME_FOLD_MIN_T,
+        ps.TIME_FOLD_CP,
     )
 
 

@@ -68,6 +68,29 @@ VMEM_BUDGET_BYTES = int(
 # the level/chunked scans measured faster on chip.
 LANE_FOLD_MIN_N = int(os.environ.get("PYVBMP_PALLAS_LANE_MIN_N", "1024"))
 
+# Time folding: at small flattened batch N the kernel is latency-bound on
+# its serial walk of all T rows (~1-2 us per combine step on v5e) while the
+# VPU sits mostly idle.  Folding time into Cp independent chunk lanes —
+# (T,)+mid+(N,) -> (Cp, L)+mid+(N,), a pure reshape — lets the kernel walk
+# only L = ceil(T/Cp) rows with Cp as a vectorized leading batch axis; the
+# cross-chunk carries are then fixed up at the JAX level with one exclusive
+# scan over the Cp chunk totals plus ONE batched combine over all rows (the
+# classic three-phase block scan, with phase 1 inside the kernel).  Costs
+# ~2 extra element passes of HBM traffic plus one extra batched evaluation
+# of the (heavy) combine over every row in phase 3.
+#
+# MEASURED NEGATIVE on v5e (2026-08, warm best-of-3): the default fused
+# kernel is already single-pass over HBM and its serial walk is not the
+# binding cost at flagship shapes, so the fold's fixup work dominates —
+# DMBD-Flocking (T=150, N=20 Kalman / plane HMM) 174 -> 54 it/s,
+# DMBD-Lorenz (T=399, b=100) 320 -> 258 it/s.  Kept as an opt-in
+# (PYVBMP_PALLAS_TIME_FOLD=auto|1) for genuinely walk-bound regimes
+# (very long T with tiny rows); OFF by default.
+TIME_FOLD = os.environ.get("PYVBMP_PALLAS_TIME_FOLD", "0")
+TIME_FOLD_MAX_N = int(os.environ.get("PYVBMP_PALLAS_TIME_FOLD_MAX_N", "256"))
+TIME_FOLD_MIN_T = int(os.environ.get("PYVBMP_PALLAS_TIME_FOLD_MIN_T", "96"))
+TIME_FOLD_CP = int(os.environ.get("PYVBMP_PALLAS_TIME_FOLD_CP", "8"))
+
 
 def pallas_scan_enabled():
     if PALLAS_SCAN == "0":
@@ -141,9 +164,12 @@ def _plan(T, N, elem_rows_bytes):
     n_tile = max(128, (n_tile // 128) * 128)
     per_row = elem_rows_bytes * n_tile / max(N, 1)
     L = PALLAS_SCAN_CHUNK
-    while L > 2 and 4 * L * per_row > VMEM_BUDGET_BYTES:
+    # the +per_row carry term must be inside the shrink conditions, or an
+    # exact-budget 4*L*per_row fit escapes the loop only to fail the final
+    # check (observed at N=40 plane rows: 4*16*64KiB == budget -> None)
+    while L > 2 and 4 * L * per_row + per_row > VMEM_BUDGET_BYTES:
         L //= 2
-    while n_tile > 128 and 4 * L * per_row > VMEM_BUDGET_BYTES:
+    while n_tile > 128 and 4 * L * per_row + per_row > VMEM_BUDGET_BYTES:
         n_tile //= 2
         per_row /= 2
     if 4 * L * per_row + per_row > VMEM_BUDGET_BYTES:
@@ -283,6 +309,242 @@ def _build_call(combine_key, treedef, shapes, T, N, L, n_tile, reverse,
     return entry
 
 
+@functools.lru_cache(maxsize=None)
+def _build_folded_call(combine_key, treedef, shapes, L, N, Lb, n_tile,
+                       interpret, lifted_idx=()):
+    """pallas_call scanning axis 1 of (Cp, L)+mid+(N,) leaves: the Cp
+    chunk axis rides as a vectorized leading batch (independent lanes of
+    the semigroup), so the serial in-kernel walk is L rows, not Cp*L.
+
+    Rows are always valid here (the folded caller pads time so Cp*L is
+    exact and padding rows hold duplicate-last elements, which are
+    legitimate semigroup members), so the validity machinery of
+    _build_call is unnecessary — only the L % Lb ragged tail needs
+    masking, and it is uniform across Cp (a scalar test)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    combine = combine_key[0]
+    n_leaves = len(shapes)
+    C = pl.cdiv(L, Lb)
+    NT = pl.cdiv(N, n_tile)
+
+    def block_shape(shape):
+        # full Cp, a time slice of Lb, full mid, one lane tile
+        return (shape[0], Lb) + tuple(shape[2:-1]) + (n_tile,)
+
+    def index_map(shape):
+        mid_zeros = (0,) * (len(shape) - 3)
+        return lambda nb, c: (0, c) + mid_zeros + (nb,)
+
+    in_specs = [
+        pl.BlockSpec(block_shape(s), index_map(s), memory_space=pltpu.VMEM)
+        for s in shapes
+    ]
+    out_specs = [
+        pl.BlockSpec(block_shape(s), index_map(s), memory_space=pltpu.VMEM)
+        for s in shapes
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((s[0],) + tuple(s[2:-1]) + (n_tile,), jnp.float32)
+        for s in shapes
+    ]
+
+    def kernel(*refs):
+        in_refs = refs[:n_leaves]
+        out_refs = refs[n_leaves : 2 * n_leaves]
+        carry_refs = refs[2 * n_leaves : 3 * n_leaves]
+        c = pl.program_id(1)
+
+        unflatten = jax.tree_util.tree_unflatten
+        lifted = set(lifted_idx)
+
+        def read_row(t):
+            return unflatten(
+                treedef,
+                [
+                    r[:, t, 0] if i in lifted else r[:, t]
+                    for i, r in enumerate(in_refs)
+                ],
+            )
+
+        def write_row(t, tree):
+            for i, (r, v) in enumerate(
+                zip(out_refs, jax.tree_util.tree_leaves(tree))
+            ):
+                r[:, t] = v[:, None] if i in lifted else v
+
+        def read_carry():
+            return unflatten(
+                treedef,
+                [
+                    r[:, 0] if i in lifted else r[:]
+                    for i, r in enumerate(carry_refs)
+                ],
+            )
+
+        def write_carry(tree):
+            for i, (r, v) in enumerate(
+                zip(carry_refs, jax.tree_util.tree_leaves(tree))
+            ):
+                r[:] = v[:, None] if i in lifted else v
+
+        def step(t, _):
+            row_global = c * Lb + t
+            e = read_row(t)
+            carry = read_carry()
+            # row 0 seeds the carry (the scratch is uninitialized there —
+            # combine's result on it is discarded by the select, as in
+            # _build_call); ragged tail rows (row_global >= L) preserve the
+            # carry and their writes land outside the array (dropped)
+            combined = combine(carry, e)
+            use_comb = jnp.logical_and(row_global > 0, row_global < L)
+            new = jax.tree.map(
+                lambda cmb, el, cr: jnp.where(
+                    use_comb, cmb, jnp.where(row_global == 0, el, cr)
+                ),
+                combined,
+                e,
+                carry,
+            )
+            write_carry(new)
+            write_row(t, new)
+            return 0
+
+        jax.lax.fori_loop(0, Lb, step, 0)
+
+    grid = (NT, C)
+    out_shape = [jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes]
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )
+
+    def entry(*leaves):
+        outs = call(*leaves)
+        outs = [
+            o[:, :, 0, :] if i in lifted_idx else o
+            for i, o in enumerate(outs)
+        ]
+        return jax.tree_util.tree_unflatten(treedef, outs)
+
+    return entry
+
+
+def _time_fold_cp(T, N):
+    """Number of chunk lanes for the folded scan.  More chunks shorten the
+    serial walk (L = ceil(T/Cp)) but add phase-2/3 fixup work and VMEM
+    pressure; keep L >= 16 so phase 1 still dominates."""
+    cp = TIME_FOLD_CP
+    while cp > 2 and (T + cp - 1) // cp < 16:
+        cp //= 2
+    return max(cp, 1)
+
+
+def _time_fold_ok(leaves, T, N):
+    if TIME_FOLD == "0":
+        return False
+    if T < TIME_FOLD_MIN_T or N > TIME_FOLD_MAX_N:
+        return TIME_FOLD == "1"
+    return _time_fold_cp(T, N) >= 2
+
+
+def _time_folded_scan(combine, elems, reverse=False, interpret=None):
+    """Three-phase block scan with phase 1 fused in the Pallas kernel and
+    time folded onto a vectorized chunk axis.  Equivalent to
+    ``lax.associative_scan(combine, elems, axis=0, reverse=reverse)`` up to
+    float association order."""
+    if reverse:
+        flip = lambda t: jax.tree_util.tree_map(
+            lambda a: jnp.flip(a, 0), t
+        )
+        # associative_scan(reverse=True) == flip o forward o flip with the
+        # operand order the caller's concern (same as chunked_scan.py)
+        return flip(_time_folded_scan(combine, flip(elems),
+                                      interpret=interpret))
+
+    leaves, treedef = jax.tree_util.tree_flatten(elems)
+    T = leaves[0].shape[0]
+    N = leaves[0].shape[-1]
+    Cp = _time_fold_cp(T, N)
+    L = -(-T // Cp)
+    pad = Cp * L - T
+
+    def pad_tail(a):
+        if pad == 0:
+            return a
+        # duplicate-last padding: combine(x, x) is well-defined for these
+        # semigroups and tail padding of a forward scan can't reach t < T
+        return jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], 0
+        )
+
+    folded = [
+        pad_tail(l).reshape((Cp, L) + l.shape[1:]) for l in leaves
+    ]
+    row_bytes = Cp * sum(
+        4 * _leaf_mid_elems(l.shape) * N for l in leaves
+    )
+    plan = _plan(L, N, row_bytes)
+    if plan is None:
+        return jax.lax.associative_scan(combine, elems, axis=0)
+    Lb, n_tile = plan
+    # keep the total grid size >= 2: a (1, 1) grid mis-executes the
+    # carry-scratch pattern in interpret mode (observed all-NaN output on
+    # jax 0.8 CPU interpret; a two-step grid costs nothing on chip)
+    if Lb >= L and N <= n_tile:
+        Lb = -(-L // 2)
+    # lift rank-3 folded leaves (Cp, L, N) -> (Cp, L, 1, N) for the same
+    # Mosaic last-two-dims reason as in pallas_chunked_scan
+    lifted_idx = tuple(i for i, l in enumerate(folded) if l.ndim == 3)
+    folded = [
+        l[:, :, None, :] if l.ndim == 3 else l for l in folded
+    ]
+    shapes = tuple(tuple(l.shape) for l in folded)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    entry = _build_folded_call(
+        (combine,), treedef, shapes, L, N, Lb, n_tile, bool(interpret),
+        lifted_idx,
+    )
+    local = entry(*folded)  # (Cp, L, ...) in-chunk inclusive prefixes
+
+    tmap = jax.tree_util.tree_map
+    # phase 2: exclusive scan of the Cp chunk totals (tiny).  No identity
+    # element: row 0 keeps a dummy that phase 3 masks out.
+    totals = tmap(lambda a: a[:, -1], local)
+    tot_incl = jax.lax.associative_scan(combine, totals, axis=0)
+    carry_in = tmap(
+        lambda a: jnp.concatenate([a[:1], a[:-1]], 0), tot_incl
+    )
+    # phase 3: one batched combine of carry_in[c] with every local prefix,
+    # flattened to a single leading axis (the shape associative_scan
+    # already exercises on these combines)
+    flat = tmap(lambda a: a.reshape((Cp * L,) + a.shape[2:]), local)
+    carry_b = tmap(
+        lambda c, l: jnp.broadcast_to(
+            c[:, None], (Cp, L) + c.shape[1:]
+        ).reshape(l.shape),
+        carry_in,
+        flat,
+    )
+    combined = combine(carry_b, flat)
+    # chunk 0 has no carry-in: keep its local prefixes verbatim
+    out = tmap(
+        lambda cmb, loc: jnp.concatenate(
+            [loc.reshape((Cp * L,) + cmb.shape[1:])[:L], cmb[L:]], 0
+        ),
+        combined,
+        local,
+    )
+    return tmap(lambda a: a[:T], out)
+
+
 def pallas_chunked_scan(combine, elems, reverse=False, interpret=None):
     """Inclusive scan of ``combine`` over axis 0 of the pytree ``elems``;
     drop-in for ``jax.lax.associative_scan(combine, elems, axis=0,
@@ -290,6 +552,11 @@ def pallas_chunked_scan(combine, elems, reverse=False, interpret=None):
     leaves, treedef = jax.tree_util.tree_flatten(elems)
     T = leaves[0].shape[0]
     N = leaves[0].shape[-1]
+    # small flattened batch: the serial T-row walk is latency-bound — fold
+    # time onto a vectorized chunk axis and fix carries up in three phases
+    if _time_fold_ok(leaves, T, N):
+        return _time_folded_scan(combine, elems, reverse=reverse,
+                                 interpret=interpret)
     # lane layouts with a large 8-divisible batch: fold onto the sublanes
     # so each combine op fills the full (8, 128) vreg (elementwise over N,
     # so the reshape is a relabeling; see _lane_foldable)

@@ -158,6 +158,94 @@ def test_lane_fold_on_lane_kalman_combine():
         assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 2e-5
 
 
+@pytest.mark.parametrize("T,N", [(20, 24), (37, 24)])  # exact and ragged folds
+@pytest.mark.parametrize("reverse", [False, True])
+def test_time_fold_matches_associative_scan_add(T, N, reverse, monkeypatch):
+    """Small-N long-T trees take the time-folded path (time reshaped onto a
+    vectorized chunk axis, carries fixed up in three phases)."""
+    monkeypatch.setattr(pallas_scan, "TIME_FOLD", "auto")
+    monkeypatch.setattr(pallas_scan, "TIME_FOLD_MIN_T", 8)
+    rs = np.random.RandomState(4)
+    elems = {
+        "x": jnp.asarray(rs.randn(T, N), jnp.float32),
+        "m": jnp.asarray(rs.randn(T, 3, 2, N), jnp.float32),
+    }
+    leaves = jax.tree_util.tree_leaves(elems)
+    assert pallas_scan._time_fold_ok(leaves, T, N)
+    ref = jax.lax.associative_scan(_add, elems, axis=0, reverse=reverse)
+    out = pallas_chunked_scan(_add, elems, reverse=reverse, interpret=True)
+    for k in elems:
+        np.testing.assert_allclose(
+            np.asarray(ref[k]), np.asarray(out[k]), rtol=5e-5, atol=5e-5
+        )
+
+
+def test_time_fold_on_plane_logmatmulexp(monkeypatch):
+    """Time-folded path on the real role-HMM plane semigroup."""
+    from pyvbmp_tpu.ops.parallel_hmm import _logmatmul_plane
+
+    monkeypatch.setattr(pallas_scan, "TIME_FOLD", "auto")
+    monkeypatch.setattr(pallas_scan, "TIME_FOLD_MIN_T", 8)
+    rs = np.random.RandomState(5)
+    T, K, N = 21, 4, 24
+    M = jnp.asarray(np.log(rs.dirichlet(np.ones(K), (T, K, N))), jnp.float32)
+    M = M.transpose(0, 2, 1, 3).reshape(T, K, K, N)
+    assert pallas_scan._time_fold_ok([M], T, N)
+    ref = jax.lax.associative_scan(_logmatmul_plane, M, axis=0)
+    out = pallas_chunked_scan(_logmatmul_plane, M, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_time_fold_on_plane_kalman_combine(monkeypatch):
+    """Time-folded path on the real plane Kalman semigroup (the DMBD /
+    Flocking latency-bound regime this path exists for)."""
+    from pyvbmp_tpu.ops import parallel_kalman as pk
+
+    monkeypatch.setattr(pallas_scan, "TIME_FOLD", "auto")
+    monkeypatch.setattr(pallas_scan, "TIME_FOLD_MIN_T", 8)
+    rs = np.random.RandomState(6)
+    T, h, N = 19, 4, 16
+    A = rs.randn(T, N, h, h) * 0.3
+    spd = lambda: jnp.asarray(
+        (np.einsum("tnij,tnkj->tnik", A, A) + 2.0 * np.eye(h)).transpose(
+            0, 2, 3, 1
+        ),
+        jnp.float32,
+    )
+    elems = (
+        spd(),
+        jnp.asarray((rs.randn(T, N, h, h) * 0.2).transpose(0, 2, 3, 1),
+                    jnp.float32),
+        spd(),
+        jnp.asarray(rs.randn(T, h, N), jnp.float32),
+        jnp.asarray(rs.randn(T, h, N), jnp.float32),
+        jnp.asarray(rs.randn(T, N), jnp.float32),
+    )
+    ref = jax.lax.associative_scan(pk._combine_plane, elems, axis=0)
+    out = pallas_chunked_scan(pk._combine_plane, elems, interpret=True)
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(out)):
+        scale = np.abs(np.asarray(a)).max() + 1e-9
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 5e-5
+
+
+def test_plan_exact_budget_shrinks_not_bails(monkeypatch):
+    """A row set whose 4*L*per_row lands exactly on the VMEM budget must
+    shrink L once more (for the carry row), not return None (regression:
+    plane rows at N=40 hit 4*16*64KiB == budget and fell back)."""
+    monkeypatch.setattr(pallas_scan, "PALLAS_SCAN_CHUNK", 32)
+    budget = pallas_scan.VMEM_BUDGET_BYTES
+    # per_row == budget/64 makes 4*16*per_row == budget exactly
+    per_row_target = budget // 64
+    N = 128  # n_tile == N so per_row == elem_rows_bytes
+    plan = pallas_scan._plan(19, N, per_row_target)
+    assert plan is not None
+    L, n_tile = plan
+    assert 4 * L * per_row_target + per_row_target <= budget
+
+
 def test_eligibility_gate():
     ok = {"a": jnp.zeros((10, 5, 256), jnp.float32)}
     assert eligible(ok)
