@@ -283,6 +283,11 @@ def main():
             ips, dev, fl, by = RUNNERS[fam](cfg, iters)
         except Exception as e:
             print(f"{fam} {cfg} FAILED: {e!r}", file=sys.stderr)
+            # keep a placeholder so results stays positionally aligned with
+            # SWEEP — the resume path merges by index (results[:start])
+            results.append(
+                dict(family=fam, config=cfg, failed=repr(e))
+            )
             continue
         rec = dict(
             family=fam,

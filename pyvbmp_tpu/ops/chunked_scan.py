@@ -31,6 +31,7 @@ LinearDynamicalSystems.py:332-383, HMM.py:72-105); generic over pytrees.
 """
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -150,6 +151,15 @@ def chunked_scan(combine, elems, reverse=False, chunk=None):
     return jax.tree_util.tree_map(from_chunks, out)
 
 
+@functools.lru_cache(maxsize=None)
+def swapped_combine(combine):
+    """Memoized operand-swap wrapper (suffix scans run the forward combine
+    with swapped operands).  A fresh ``lambda a, b: combine(b, a)`` per
+    trace would defeat the pallas_scan build memo — it is keyed on the
+    combine's identity — and leak one dead kernel-cache entry per retrace."""
+    return lambda a, b: combine(b, a)
+
+
 def auto_scan(combine, elems, reverse=False):
     """Layered scan dispatch, fastest applicable first:
 
@@ -195,6 +205,7 @@ def scan_dispatch_state():
         ps.TIME_FOLD_MAX_N,
         ps.TIME_FOLD_MIN_T,
         ps.TIME_FOLD_CP,
+        ps.VMEM_BUDGET_BYTES,
     )
 
 

@@ -170,8 +170,10 @@ def _plan(T, N, elem_rows_bytes):
     while L > 2 and 4 * L * per_row + per_row > VMEM_BUDGET_BYTES:
         L //= 2
     while n_tile > 128 and 4 * L * per_row + per_row > VMEM_BUDGET_BYTES:
-        n_tile //= 2
-        per_row /= 2
+        # shrink to the largest 128-multiple <= n_tile/2 — Mosaic requires
+        # the block's lane dim to stay a 128 multiple (384 -> 128, not 192)
+        n_tile = max(128, (n_tile // 256) * 128)
+        per_row = elem_rows_bytes * n_tile / max(N, 1)
     if 4 * L * per_row + per_row > VMEM_BUDGET_BYTES:
         return None
     return L, n_tile
@@ -491,7 +493,9 @@ def _time_folded_scan(combine, elems, reverse=False, interpret=None):
         4 * _leaf_mid_elems(l.shape) * N for l in leaves
     )
     plan = _plan(L, N, row_bytes)
-    if plan is None:
+    # L < 2 also bails: a forced fold at tiny T (e.g. Cp=2, T=2 -> L=1)
+    # cannot honor the grid >= 2 requirement below
+    if plan is None or L < 2:
         return jax.lax.associative_scan(combine, elems, axis=0)
     Lb, n_tile = plan
     # keep the total grid size >= 2: a (1, 1) grid mis-executes the

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import math as um
-from .chunked_scan import auto_scan
+from .chunked_scan import auto_scan, swapped_combine
 
 # Layout dispatch, measured on the v5e chip (round 3, PARITY.md): the plane
 # form (stacked (T, K, K, N) layout, O(1) HLO ops per semiring matmul) beats
@@ -61,6 +61,12 @@ def _logmatmul_lane(K, a, b):
     }
 
 
+@functools.lru_cache(maxsize=None)
+def _lane_combine(K):
+    """Stable-identity K-specialized lane combine (see swapped_combine)."""
+    return functools.partial(_logmatmul_lane, K)
+
+
 def _hmm_lane_core(M, init_logits, ptemp):
     """Shared lane-form machinery: returns (p, xi (T,)+b+(K,K), SEz0, logZ)
     given dense semiring elements M (T,)+bshape+(K,K)."""
@@ -78,10 +84,8 @@ def _hmm_lane_core(M, init_logits, ptemp):
         for i in range(K)
     ]
 
-    prefix = auto_scan(lambda a, b: _logmatmul_lane(K, a, b), Md)
-    suffix = auto_scan(
-        lambda a, b: _logmatmul_lane(K, b, a), Md, reverse=True
-    )
+    prefix = auto_scan(_lane_combine(K), Md)
+    suffix = auto_scan(swapped_combine(_lane_combine(K)), Md, reverse=True)
 
     alpha = [
         _lse_terms([ivec[i] + prefix[(i, j)] for i in range(K)])
@@ -154,7 +158,7 @@ def _hmm_plane_core(M, init_logits, ptemp):
     )  # (K, N)
 
     prefix = auto_scan(_logmatmul_plane, Mp)
-    suffix = auto_scan(lambda a, b: _logmatmul_plane(b, a), Mp, reverse=True)
+    suffix = auto_scan(swapped_combine(_logmatmul_plane), Mp, reverse=True)
 
     alpha = um.stable_logsumexp(ivec[None, :, None, :] + prefix, -3)  # (T, K, N)
     logZ = um.stable_logsumexp(alpha[-1], 0)  # (N,)
@@ -257,7 +261,7 @@ def _fb_impl(trans_logits, init_logits, obs_logits, ptemp, lane_form,
     # beta_t = M_{t+1} ⊗ ... ⊗ M_{T-1} ⊗ 1  (suffix scan, column-vector form).
     # NOTE: with reverse=True the combine sees (later, earlier) operands, so
     # flip the operator to keep left-to-right multiplication order.
-    suffix = auto_scan(lambda a, b: _logmatmul(b, a), M, reverse=True)
+    suffix = auto_scan(swapped_combine(_logmatmul), M, reverse=True)
     # suffix[t] = M_t ⊗ ... ⊗ M_{T-1}; beta_t needs products starting at t+1
     beta = um.stable_logsumexp(suffix, -1)  # includes M_t; shift left by one
     beta_t = jnp.concatenate(
@@ -341,7 +345,7 @@ def _driven_fb_impl(trans_logits, init_logits, obs_logits, ptemp, lane_form,
     alpha = alpha - logZ
     logZ = logZ[..., 0]
 
-    suffix = auto_scan(lambda a, b: _logmatmul(b, a), M, reverse=True)
+    suffix = auto_scan(swapped_combine(_logmatmul), M, reverse=True)
     beta = um.stable_logsumexp(suffix, -1)
     beta_t = jnp.concatenate(
         [beta[1:], jnp.zeros((1,) + beta.shape[1:], beta.dtype)], 0

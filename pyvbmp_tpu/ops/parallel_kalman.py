@@ -42,7 +42,7 @@ from ..utils.linalg import (
     sym_solve_and_logdet,
 )
 from . import smallmat as sm
-from .chunked_scan import auto_scan
+from .chunked_scan import auto_scan, swapped_combine as _swapped_combine
 
 # Layout dispatch, measured on the v5e chip (round 3, PARITY.md):
 #   h <= 3: lane form (closed-form adjugates; tied or ahead of plane at h=2
@@ -95,9 +95,11 @@ def _dequantize_elems(elems):
     return tuple(up(e) for e in elems[:5]) + (elems[5],)
 
 
+@functools.lru_cache(maxsize=None)
 def _mixed_precision_combine(combine, dtype):
     """Upcast operands to f32, combine, store the result back in ``dtype``
-    (logw stays f32 throughout)."""
+    (logw stays f32 throughout). Memoized for the same identity reason as
+    ``_swapped_combine``."""
 
     def f(a, b):
         out = combine(_dequantize_elems(a), _dequantize_elems(b))
@@ -145,13 +147,13 @@ def _scan_pair(combine, elems, transpose=None, batch_n=None):
         return prefix, suffix
     if dtype == "float32":
         prefix = auto_scan(combine, elems)
-        suffix = auto_scan(lambda a, b: combine(b, a), elems, reverse=True)
+        suffix = auto_scan(_swapped_combine(combine), elems, reverse=True)
         return prefix, suffix
     dt = jnp.dtype(dtype)
     q = _quantize_elems(elems, dt)
     cmb = _mixed_precision_combine(combine, dt)
     prefix = auto_scan(cmb, q)
-    suffix = auto_scan(lambda a, b: cmb(b, a), q, reverse=True)
+    suffix = auto_scan(_swapped_combine(cmb), q, reverse=True)
     return _dequantize_elems(prefix), _dequantize_elems(suffix)
 
 

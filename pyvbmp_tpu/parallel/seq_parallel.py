@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import math as um
+from ..ops.chunked_scan import swapped_combine
 
 
 def _tree_at(tree, i):
@@ -43,6 +44,7 @@ def _lift_rank(v, x):
     return v.reshape(v.shape + (1,) * (x.ndim - v.ndim))
 
 
+@functools.lru_cache(maxsize=None)
 def _masked_combine(fn):
     """Adjoin an identity to an arbitrary semigroup via validity flags (the
     standard monoid completion): elements become (value, valid) and invalid
@@ -84,7 +86,7 @@ def sharded_associative_scan(fn, elems, axis_name, reverse=False, valid=None):
         if reverse:
             flipped = jax.tree.map(lambda a: jnp.flip(a, 0), tree)
             out = _sharded_prefix(
-                lambda a, b: mfn(b, a), flipped, axis_name, flip_axis=True
+                swapped_combine(mfn), flipped, axis_name, flip_axis=True
             )
             return jax.tree.map(lambda a: jnp.flip(a, 0), out)[0]
         return _sharded_prefix(mfn, tree, axis_name, flip_axis=False)[0]
@@ -94,7 +96,7 @@ def sharded_associative_scan(fn, elems, axis_name, reverse=False, valid=None):
         flipped = jax.tree.map(lambda a: jnp.flip(a, 0), elems)
         # device order along the time axis also reverses
         out = _sharded_prefix(
-            lambda a, b: fn(b, a), flipped, axis_name, flip_axis=True
+            swapped_combine(fn), flipped, axis_name, flip_axis=True
         )
         return jax.tree.map(lambda a: jnp.flip(a, 0), out)
     return _sharded_prefix(fn, elems, axis_name, flip_axis=False)
@@ -241,7 +243,7 @@ def time_sharded_forward_backward(trans_logits, init_logits, obs_logits, mesh,
     replicated over time.
 
     trans_logits: (K, K), init_logits: (K,), obs_logits: (T,)+batch+(K,).
-    T must divide by the mesh axis size.
+    Any T works: an indivisible T is padded with masked-identity rows (dropped from outputs and reductions).
 
     On a 2D (seq x data) mesh, ``batch_axis`` (default "auto": the first
     non-time axis) additionally shards the batch dim (axis 1 of obs_logits) —
@@ -389,7 +391,7 @@ def time_sharded_driven_forward_backward(trans_logits, init_logits, obs_logits,
     come back sharded over time.
 
     trans_logits: (T,) + batch + (K, K), obs_logits: (T,) + batch + (K,).
-    T must divide by the mesh axis size.
+    Any T works: an indivisible T is padded with masked-identity rows (dropped from outputs and reductions).
     """
     batch_axis, pad = _resolve_axes(
         mesh, time_axis, batch_axis, obs_logits.shape[0],
@@ -409,7 +411,7 @@ def time_sharded_kalman_smoother(parms, x0, like, u, mesh, time_axis="seq",
                                  batch_axis="auto"):
     """ops.parallel_kalman.parallel_kalman_smoother with the TIME axis
     sharded over ``mesh[time_axis]`` (sequence parallelism for the
-    continuous chain). Same return contract; T must divide the axis size.
+    continuous chain). Same return contract; any T works (masked-identity padding).
 
     The Gaussian-potential combine is associative but has no identity, so
     the cross-device prefix uses the masked fold in
