@@ -246,6 +246,36 @@ def test_plan_exact_budget_shrinks_not_bails(monkeypatch):
     assert 4 * L * per_row_target + per_row_target <= budget
 
 
+def test_plan_n_tile_stays_128_multiple():
+    """The VMEM-pressure shrink loop must keep the lane-dim tile a 128
+    multiple — Mosaic rejects e.g. 192 at lowering time (review finding:
+    384 -> 192 via plain halving; fat plane rows at N in [384, 511])."""
+    budget = pallas_scan.VMEM_BUDGET_BYTES
+    for N in (40, 128, 384, 400, 511, 512, 4096):
+        for rb in (10_000, 300_000, 1_300_000, 6_000_000):
+            plan = pallas_scan._plan(399, N, rb)
+            if plan is None:
+                continue
+            L, n_tile = plan
+            assert n_tile % 128 == 0, (N, rb, plan)
+            per_row = rb * n_tile / N
+            assert 4 * L * per_row + per_row <= budget, (N, rb, plan)
+
+
+def test_swapped_combine_memoized():
+    """swapped_combine must return the SAME callable for the same combine —
+    the pallas build memo keys on combine identity, so a fresh wrapper per
+    trace would never hit the cache (review finding)."""
+    from pyvbmp_tpu.ops.chunked_scan import swapped_combine
+
+    def f(a, b):
+        return a + b
+
+    g1, g2 = swapped_combine(f), swapped_combine(f)
+    assert g1 is g2
+    assert g1(jnp.ones(()), jnp.zeros(())) == f(jnp.zeros(()), jnp.ones(()))
+
+
 def test_eligibility_gate():
     ok = {"a": jnp.zeros((10, 5, 256), jnp.float32)}
     assert eligible(ok)
