@@ -53,11 +53,20 @@ PALLAS_SCAN = os.environ.get("PYVBMP_PALLAS_SCAN", "auto")
 # minimum time length: below this the level scan is already cheap and the
 # kernel's fixed cost (grid setup, scratch) isn't worth a retrace
 PALLAS_SCAN_MIN_T = int(os.environ.get("PYVBMP_PALLAS_SCAN_MIN_T", "32"))
-# lane-tile width; 512 lanes = 4 fp32 vregs per op, a good VPU width
-PALLAS_SCAN_N_TILE = int(os.environ.get("PYVBMP_PALLAS_SCAN_N_TILE", "512"))
+# optional hard cap on the lane-tile width (0 = uncapped).  The planner
+# minimizes the number of lane tiles NT = ceil(N / n_tile) first — TPU
+# grids run sequentially, so every extra tile re-walks all T rows — and a
+# wider tile is pure VPU throughput; a cap only makes sense for VMEM
+# experiments.
+PALLAS_SCAN_N_TILE = int(os.environ.get("PYVBMP_PALLAS_SCAN_N_TILE", "0"))
 # time-chunk length: larger L = fewer grid steps (less per-step overhead)
 # but a bigger VMEM block; bounded by the VMEM budget below
 PALLAS_SCAN_CHUNK = int(os.environ.get("PYVBMP_PALLAS_SCAN_CHUNK", "32"))
+# minimum chunk length a plan must keep before the planner accepts a wider
+# lane tile: fewer tiles shortens the serial walk, but only if each grid
+# step still has enough rows to amortize its DMA/setup cost (measured:
+# MixLDS b=4000 NT=1 forces L=2 and loses 16% vs NT=4 with L=8)
+PALLAS_SCAN_MIN_L = int(os.environ.get("PYVBMP_PALLAS_SCAN_MIN_L", "8"))
 # stay well under the ~16 MB/core VMEM (blocks are double-buffered)
 VMEM_BUDGET_BYTES = int(
     os.environ.get("PYVBMP_PALLAS_SCAN_VMEM", str(4 * 1024 * 1024))
@@ -158,25 +167,52 @@ def _plan(T, N, elem_rows_bytes):
 
     elem_rows_bytes: bytes of ONE time row across all leaves at full N.
     The in-VMEM working set is ~4 blocks (in + out, each double-buffered
-    by Mosaic) plus the carry row."""
-    n_tile = min(PALLAS_SCAN_N_TILE, max(128, N))
-    # shrink n_tile to a 128 multiple >= 128
-    n_tile = max(128, (n_tile // 128) * 128)
-    per_row = elem_rows_bytes * n_tile / max(N, 1)
-    L = PALLAS_SCAN_CHUNK
-    # the +per_row carry term must be inside the shrink conditions, or an
-    # exact-budget 4*L*per_row fit escapes the loop only to fail the final
-    # check (observed at N=40 plane rows: 4*16*64KiB == budget -> None)
-    while L > 2 and 4 * L * per_row + per_row > VMEM_BUDGET_BYTES:
-        L //= 2
-    while n_tile > 128 and 4 * L * per_row + per_row > VMEM_BUDGET_BYTES:
-        # shrink to the largest 128-multiple <= n_tile/2 — Mosaic requires
-        # the block's lane dim to stay a 128 multiple (384 -> 128, not 192)
-        n_tile = max(128, (n_tile // 256) * 128)
+    by Mosaic) plus the carry row.
+
+    The lane-tile count NT = ceil(N / n_tile) MULTIPLIES the serial walk:
+    Pallas TPU grids execute sequentially, so a split batch axis re-walks
+    all T rows once per tile (measured: DMBD b=400 Kalman phase 6.5 ms at
+    NT=2 vs 5.8 ms at NT=1).  But a wider tile shrinks the chunk length L
+    under the fixed VMEM budget, and a too-short chunk starves each grid
+    step of compute to hide its DMA/setup cost behind (measured: MixLDS
+    b=4000 fold NT=1 forces L=2 and runs 16% SLOWER than NT=4 with L=8).
+    So: fewest tiles subject to L >= PALLAS_SCAN_MIN_L; if no split
+    achieves that, fall back to the split with the longest chunk."""
+
+    def feasible_L(n_tile):
         per_row = elem_rows_bytes * n_tile / max(N, 1)
-    if 4 * L * per_row + per_row > VMEM_BUDGET_BYTES:
-        return None
-    return L, n_tile
+        L = PALLAS_SCAN_CHUNK
+        # the +per_row carry term must be inside the shrink condition, or an
+        # exact-budget 4*L*per_row fit escapes the loop only to fail the
+        # final check (observed at N=40 plane rows: 4*16*64KiB == budget)
+        while L > 2 and 4 * L * per_row + per_row > VMEM_BUDGET_BYTES:
+            L //= 2
+        if 4 * L * per_row + per_row > VMEM_BUDGET_BYTES:
+            return None
+        return L
+
+    # for NT = 1, 2, ... the candidate tile is the smallest 128-multiple
+    # covering ceil(N / NT) lanes (Mosaic requires a block's lane dim to be
+    # a 128 multiple); take the fewest-tiles plan that keeps L healthy
+    n128 = -(-max(N, 128) // 128)  # N in units of 128 lanes
+    min_l = min(PALLAS_SCAN_MIN_L, max(2, T))
+    best = None  # (L, n_tile) with the longest chunk seen, as fallback
+    seen = set()
+    for NT in range(1, n128 + 1):
+        n_tile = -(-n128 // NT) * 128
+        if n_tile in seen:  # several NT can round to the same tile
+            continue
+        seen.add(n_tile)
+        if PALLAS_SCAN_N_TILE and n_tile > PALLAS_SCAN_N_TILE:
+            continue
+        L = feasible_L(n_tile)
+        if L is None:
+            continue
+        if L >= min_l:
+            return L, n_tile
+        if best is None or L > best[0]:
+            best = (L, n_tile)
+    return best
 
 
 @functools.lru_cache(maxsize=None)

@@ -262,6 +262,38 @@ def test_plan_n_tile_stays_128_multiple():
             assert 4 * L * per_row + per_row <= budget, (N, rb, plan)
 
 
+def test_plan_prefers_fewest_tiles_with_healthy_chunk():
+    """TPU grids run sequentially, so every extra lane tile re-walks all T
+    rows — but a wider tile must not starve the chunk length below
+    PALLAS_SCAN_MIN_L (measured: MixLDS b=4000 NT=1 forces L=2 and loses
+    16% vs NT=3 with L=8; DMBD b=400 NT=1 keeps L=8 and wins 10%)."""
+    min_l = pallas_scan.PALLAS_SCAN_MIN_L
+
+    # DMBD Lorenz plane h=6, b=400: one 512-lane tile fits at L=8
+    L, n_tile = pallas_scan._plan(399, 400, 4 * 43 * 400)
+    assert n_tile == 512 and L >= min_l  # NT = 1, the measured winner
+
+    # MixLDS b=4000 lane-fold: NT=1 would collapse L to 2; the planner
+    # must take the smallest split that restores L >= MIN_L
+    L, n_tile = pallas_scan._plan(100, 2000, 4 * 8 * 2000 * 5)
+    assert L >= min_l
+    assert -(-2000 // n_tile) > 1  # split, not one starving mega-tile
+
+    # when NO split achieves MIN_L, fall back to the longest-chunk plan
+    # rather than None (fat rows: only the minimal tile at a short chunk
+    # fits the VMEM budget)
+    plan = pallas_scan._plan(64, 256, 600_000)
+    assert plan is not None
+    L, n_tile = plan
+    assert L < min_l and n_tile == 128  # best feasible, not rejected
+    per_row = 600_000 * n_tile / 256
+    assert 4 * L * per_row + per_row <= pallas_scan.VMEM_BUDGET_BYTES
+
+    # genuinely infeasible rows (even L=2 at the minimal tile overflows)
+    # still return None
+    assert pallas_scan._plan(64, 256, 6_000_000) is None
+
+
 def test_swapped_combine_memoized():
     """swapped_combine must return the SAME callable for the same combine —
     the pallas build memo keys on combine identity, so a fresh wrapper per
