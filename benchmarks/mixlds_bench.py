@@ -84,8 +84,10 @@ def bench_ours(cfg, y):
     best = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
+        # update() ends with a host fetch of the full ELBO trajectory
+        # (np.asarray inside _update_reshaped), forcing completion on axon;
+        # a second fetch would add a redundant ~30 ms tunnel round-trip
         m.update(jy, iters=fused)
-        np.asarray(m.logZ)  # host fetch forces completion on axon
         dt = time.perf_counter() - t0
         print('{"rep": %d, "seconds": %.3f}' % (rep, dt), file=sys.stderr)
         if rep > 0:
