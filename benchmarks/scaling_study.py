@@ -74,7 +74,11 @@ def _time_fit(fit, iters, reps=3):
     t1 = best_of(iters)
     t2 = best_of(iters * SLOPE_MULT)
     slope = (t2 - t1) / (iters * (SLOPE_MULT - 1))
-    return iters / t1, (1.0 / slope if slope > 0 else float("inf"))
+    # a nonpositive slope means the two rep counts timed equal within the
+    # tunnel jitter — the device time is below measurement resolution;
+    # return None (JSON null) rather than an Infinity that breaks strict
+    # JSON and pollutes the derived GB/s / GFLOP/s columns
+    return iters / t1, (1.0 / slope if slope > 0 else None)
 
 
 # ---------------------------------------------------------------- generators
@@ -293,14 +297,14 @@ def main():
             family=fam,
             config=cfg,
             iters_per_sec=round(ips, 2),
-            device_iters_per_sec=round(dev, 2),
-            device_ms_per_iter=round(1e3 / dev, 4) if dev > 0 else None,
+            device_iters_per_sec=round(dev, 2) if dev else None,
+            device_ms_per_iter=round(1e3 / dev, 4) if dev else None,
             flops_per_iter=fl,
             bytes_per_iter=by,
-            gflops_per_sec=round(dev * fl / 1e9, 2) if fl == fl else None,
-            gbytes_per_sec=round(dev * by / 1e9, 2) if by == by else None,
-            pct_peak_flops=round(100 * dev * fl / PEAK_FLOPS, 4) if fl == fl else None,
-            pct_peak_bw=round(100 * dev * by / PEAK_BYTES, 2) if by == by else None,
+            gflops_per_sec=round(dev * fl / 1e9, 2) if dev and fl == fl else None,
+            gbytes_per_sec=round(dev * by / 1e9, 2) if dev and by == by else None,
+            pct_peak_flops=round(100 * dev * fl / PEAK_FLOPS, 4) if dev and fl == fl else None,
+            pct_peak_bw=round(100 * dev * by / PEAK_BYTES, 2) if dev and by == by else None,
             wall_s=round(time.perf_counter() - t0, 1),
         )
         results.append(rec)
