@@ -1,10 +1,12 @@
-"""North-star workload: DMBD on flocking data with multiple objects
-(BASELINE.json: "DMBD on the Flocking sim ... >=25x faster per VB-EM
-iteration on v5e-8").  Reference examples/Flocking_example.py uses 6 objects
-over bird tracks; the data file doesn't ship, so the boids simulator
-(simulations/flocking.py) generates the workload for both frameworks.
+"""DMBD on Newton's-cradle data — the third sim named by BASELINE.json
+config 5 ("DMBD on Flocking / Artificial-Life / NewtonsCradle sims";
+Flocking has flocking_bench.py, Artificial-Life's rotor-story data never
+shipped upstream).  Config mirrors the reference's own
+examples/NewtonsCradle_example.py (5 balls, role/hidden dims (2,2,2));
+the lax.scan cradle simulator (simulations/newtons_cradle.py) generates
+the identical workload for both frameworks.
 
-Run: python benchmarks/flocking_bench.py {ref|ours}
+Run: python benchmarks/cradle_bench.py {ref|ours}
 """
 import json
 import os
@@ -16,17 +18,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import numpy as np
 
-CFG = dict(T=150, batch=20, n_birds=12, obs_dim=4, role_dims=(2, 2, 2),
-           hidden_dims=(2, 2, 2), number_of_objects=3, iters=5)
+CFG = dict(T=200, batch=10, n_balls=5, obs_dim=2, role_dims=(2, 2, 2),
+           hidden_dims=(2, 2, 2), iters=5)
 
 
 def make_data(cfg):
     import jax
-    from pyvbmp_tpu.simulations import Flocking
+    from pyvbmp_tpu.simulations import NewtonsCradle
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-    sim = Flocking(n_birds=cfg["n_birds"], Tmax=cfg["T"], batch_size=cfg["batch"])
-    return np.asarray(sim.simulate(jax.random.key(0)), np.float32)
+    sim = NewtonsCradle(n_balls=cfg["n_balls"], ball_size=0.2, Tmax=cfg["T"],
+                        batch_size=cfg["batch"], g=1, leak=0.01, dt=0.05)
+    data, _ = sim.generate_data("1 ball object", key=jax.random.key(3))
+    return np.asarray(data, np.float32)
 
 
 def bench_ref(cfg, y):
@@ -36,10 +40,9 @@ def bench_ref(cfg, y):
     torch.manual_seed(0)
     ty = torch.tensor(y, dtype=torch.get_default_dtype())
     m = DynamicMarkovBlanketDiscovery(
-        obs_shape=(cfg["n_birds"], cfg["obs_dim"]),
+        obs_shape=(cfg["n_balls"], cfg["obs_dim"]),
         role_dims=list(cfg["role_dims"]),
         hidden_dims=list(cfg["hidden_dims"]),
-        number_of_objects=cfg["number_of_objects"],
     )
     m.update(ty, None, None, iters=1, latent_iters=1, lr=1.0)
     t0 = time.perf_counter()
@@ -48,29 +51,26 @@ def bench_ref(cfg, y):
 
 
 def bench_ours(cfg, y):
-    import jax
     import jax.numpy as jnp
     from pyvbmp_tpu.models import DynamicMarkovBlanketDiscovery
     from pyvbmp_tpu.utils import rng
 
     rng.seed(0)
     m = DynamicMarkovBlanketDiscovery(
-        obs_shape=(cfg["n_birds"], cfg["obs_dim"]),
+        obs_shape=(cfg["n_balls"], cfg["obs_dim"]),
         role_dims=cfg["role_dims"],
         hidden_dims=cfg["hidden_dims"],
-        number_of_objects=cfg["number_of_objects"],
         parallel_scan=True,
     )
     jy = jnp.asarray(y)
     # 5x the reference's iteration count per dispatch: amortize the
-    # remote-tunnel dispatch latency like the python-loop reference does
+    # remote-tunnel dispatch latency like the python-loop reference does.
+    # update() ends with a host fetch of the ELBO trajectory, which forces
+    # completion on axon (no extra fetch needed).
     fused = cfg["iters"] * 5
     best = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
-        # update() ends with a host fetch of the ELBO trajectory, forcing
-        # completion on axon; a second fetch would add a redundant ~30 ms
-        # tunnel round-trip per rep (round-4 sync-protocol fix)
         m.update(jy, iters=fused)
         dt = time.perf_counter() - t0
         print('{"rep": %d, "seconds": %.3f}' % (rep, dt), file=sys.stderr)
@@ -82,7 +82,7 @@ def bench_ours(cfg, y):
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "ours"
     y = make_data(CFG)
-    key = "dmbd_flocking_T%d_b%d_obj%d" % (CFG["T"], CFG["batch"], CFG["number_of_objects"])
+    key = "dmbd_cradle_T%d_b%d" % (CFG["T"], CFG["batch"])
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "reference_times.json")
     rec = json.load(open(out_path)) if os.path.exists(out_path) else {}
     if which == "ref":
@@ -94,8 +94,8 @@ def main():
         ips = bench_ours(CFG, y)
         base = rec.get(key, {}).get("iters_per_sec")
         print(json.dumps({
-            "metric": "DMBD-on-Flocking VB-EM iters/sec (T=%d, batch=%d, %d objects)"
-            % (CFG["T"], CFG["batch"], CFG["number_of_objects"]),
+            "metric": "DMBD-on-NewtonsCradle VB-EM iters/sec (T=%d, batch=%d)"
+            % (CFG["T"], CFG["batch"]),
             "value": round(ips, 3),
             "vs_baseline": round(ips / base, 2) if base else None,
         }))
