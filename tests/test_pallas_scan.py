@@ -294,6 +294,38 @@ def test_plan_prefers_fewest_tiles_with_healthy_chunk():
     assert pallas_scan._plan(64, 256, 6_000_000) is None
 
 
+def test_fallback_short_chunk_plan_executes(monkeypatch):
+    """When no lane-tile split keeps L >= PALLAS_SCAN_MIN_L, the planner
+    falls back to the longest-chunk feasible plan instead of bailing to the
+    level scan (round-4 planner); the kernel must still be exact on that
+    plan.  Forced by shrinking the VMEM budget so these rows only fit at
+    L=2 (< MIN_L) at the minimal 128-lane tile."""
+    rs = np.random.RandomState(5)
+    T, h, N = 13, 8, 128
+    elems = {
+        "m": jnp.asarray(rs.uniform(0.5, 1.5, (T, h, h, N)), jnp.float32),
+        "v": jnp.asarray(rs.randn(T, h, h, N), jnp.float32),
+    }
+    rb = sum(
+        4 * pallas_scan._leaf_mid_elems(l.shape) * N for l in elems.values()
+    )
+    monkeypatch.setattr(pallas_scan, "VMEM_BUDGET_BYTES", 4 * 2 * rb + rb + 64)
+    plan = pallas_scan._plan(T, N, rb)
+    assert plan is not None
+    L, n_tile = plan
+    assert L == 2 and L < pallas_scan.PALLAS_SCAN_MIN_L and n_tile == 128
+
+    # composition of elementwise affine maps x -> m*x + v (a semigroup)
+    combine = lambda a, b: {"m": b["m"] * a["m"],
+                            "v": b["m"] * a["v"] + b["v"]}
+    ref = jax.lax.associative_scan(combine, elems, axis=0)
+    out = pallas_chunked_scan(combine, elems, interpret=True)
+    for k in elems:
+        np.testing.assert_allclose(
+            np.asarray(ref[k]), np.asarray(out[k]), rtol=5e-5, atol=5e-5
+        )
+
+
 def test_swapped_combine_memoized():
     """swapped_combine must return the SAME callable for the same combine —
     the pallas build memo keys on combine identity, so a fresh wrapper per
