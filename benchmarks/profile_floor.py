@@ -50,7 +50,10 @@ def build_lds(T=200, b=100, o=4, h=2, iters=30):
         obs_shape=(o,), hidden_dim=h, regression_dim=0, latent_noise="independent"
     )
     m.update(data, iters=1)  # warm caches / shapes
-    fn, args, kwargs = m._profile_fused(data, iters)
+    y, u, r = m.reshape_inputs(data)
+    fn = jax.jit(m._vb_multi, static_argnames=("iters",))
+    args = (m.x0, m.A, m.obs_model, y, u, r, 1.0)
+    kwargs = dict(iters=iters)
     return fn, args, kwargs, iters
 
 
@@ -64,6 +67,8 @@ def main():
 
     if which == "gmm":
         fn, args, kwargs, iters = build_gmm()
+    elif which == "lds":
+        fn, args, kwargs, iters = build_lds()
     else:
         raise SystemExit(f"unknown target {which}")
 
