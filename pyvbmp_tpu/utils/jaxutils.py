@@ -148,6 +148,33 @@ def accumulate(old_ss, new_ss, beta):
     return acc, acc
 
 
+def mxu_precision():
+    """MXU pass-count for the f32 matmul hot paths (read at trace time).
+
+    ``PYVBMP_MXU_PRECISION`` in {"highest" (default), "high", "default"}:
+    HIGHEST = 6 bf16 passes (~full f32), HIGH = 3 passes (~f32 minus ~2
+    mantissa bits), DEFAULT = 1 bf16 pass.  Measured on the v5e chip (GMM
+    n=1e5 d=64 K=16, device-side slope): HIGHEST 2.37 ms/iter, HIGH 1.52
+    (1.56x), DEFAULT 0.87 (2.7x); 30-iter fit ELBO drift vs HIGHEST is
+    7e-5 relative for HIGH but 1.6e-2 for DEFAULT — bf16 single-pass loses
+    exactly the centered-residual accumulation these contractions protect,
+    so "high" is the supported speed mode and "default" is for exploratory
+    fits only.  HIGHEST stays the default because parity — not throughput —
+    is this repo's contract.  Set the env var before the first update() of a
+    process (jit programs trace it in).
+    """
+    import os
+
+    import jax
+
+    name = os.environ.get("PYVBMP_MXU_PRECISION", "highest").lower()
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
+
+
 def _scatter_dot(A, B, sdims):
     """``sum over sdims of A[..., :, None] * B[..., None, :]`` expressed as a
     single ``dot_general`` (contracting the sample axes, batching every other
@@ -166,7 +193,7 @@ def _scatter_dot(A, B, sdims):
         A,
         B,
         dimension_numbers=((sd, sd), (batch, batch)),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=mxu_precision(),
     )
     return out  # batch + (d_A, d_B)
 
@@ -194,7 +221,7 @@ def bcontract_pp(X, W):
         return (X * W).sum((-1, -2))
     rows = X.reshape(X.shape[: -2 - k] + (X.shape[-2] * X.shape[-1],))
     cols = W.reshape((-1, W.shape[-2] * W.shape[-1]))
-    out = jnp.matmul(rows, cols.T, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.matmul(rows, cols.T, precision=mxu_precision())
     return out.reshape(out.shape[:-1] + W.shape[:-2])
 
 
@@ -211,11 +238,11 @@ def brole_avg(M, p):
     if M.ndim == 3 and M.shape[0] == K:
         rows = p.reshape((-1, K))
         out = jnp.matmul(
-            rows, M.reshape((K, -1)), precision=jax.lax.Precision.HIGHEST
+            rows, M.reshape((K, -1)), precision=mxu_precision()
         )
         return out.reshape(p.shape[:-1] + M.shape[-2:])
     return jnp.einsum(
-        "...kij,...k->...ij", M, p, precision=jax.lax.Precision.HIGHEST
+        "...kij,...k->...ij", M, p, precision=mxu_precision()
     )
 
 
@@ -247,7 +274,7 @@ def bquad(X, W):
     for s in W.shape[:-2]:
         Bf *= s
     Wm = W.reshape((Bf, d, d)).transpose(1, 0, 2).reshape((d, Bf * d))
-    Z = jnp.matmul(rows, Wm, precision=jax.lax.Precision.HIGHEST)
+    Z = jnp.matmul(rows, Wm, precision=mxu_precision())
     Z = Z.reshape(lead + (Bf, d))
     out = (Z * rows[..., None, :]).sum(-1)
     return out.reshape(lead + W.shape[:-2])

@@ -42,7 +42,34 @@ def psd_solve(A, B):
     return jax.scipy.linalg.cho_solve((L, True), B)
 
 
+def _schur_inv_n_max():
+    """Full-inverse dispatch: Cholesky vs the straight-line Schur recursion.
+
+    XLA lowers batched Cholesky + cho_solve on TPU to a sequential blocked
+    loop; the recursive symmetric Schur inverse below is pure batched
+    matmul/elementwise code.  Measured on the v5e chip (K=16 batch,
+    inverse+logdet, device-side rep-scan): chol 157/206/308/524 us at
+    d=16/32/64/128 vs Schur 123/135/173/241 us — Schur wins everywhere in
+    the framework's d range, so ``auto`` (the default) routes full PSD
+    inverses through it on accelerator backends.  CPU (the parity gate)
+    always stays on Cholesky.  ``PYVBMP_PSD_INV`` = "chol" forces Cholesky
+    everywhere; an integer sets the max dim for the Schur path (0 disables,
+    read at trace time)."""
+    import os
+
+    mode = os.environ.get("PYVBMP_PSD_INV", "auto").lower()
+    if mode == "chol":
+        return 0
+    if mode == "auto":
+        return 128 if jax.default_backend() != "cpu" else 0
+    return int(mode)
+
+
 def psd_inv(A):
+    if 2 <= A.shape[-1] <= _schur_inv_n_max():
+        if PSD_JITTER:
+            A = A + PSD_JITTER * jnp.eye(A.shape[-1], dtype=A.dtype)
+        return sym_inv_and_logdet(_sym(A))[0]
     L = chol(A)
     eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
     return jax.scipy.linalg.cho_solve((L, True), eye)
@@ -54,7 +81,12 @@ def psd_logdet(A):
 
 
 def psd_inv_and_logdet(A):
-    """Fused inverse + logdet off one Cholesky factor."""
+    """Fused inverse + logdet off one Cholesky factor (or the straight-line
+    Schur recursion on accelerator backends — see _schur_inv_n_max)."""
+    if 2 <= A.shape[-1] <= _schur_inv_n_max():
+        if PSD_JITTER:
+            A = A + PSD_JITTER * jnp.eye(A.shape[-1], dtype=A.dtype)
+        return sym_inv_and_logdet(_sym(A))
     L = chol(A)
     eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
     inv = jax.scipy.linalg.cho_solve((L, True), eye)

@@ -278,3 +278,29 @@ def test_smallmat_sym_inv_logdet_schur_branch(h):
     np.testing.assert_allclose(
         np.asarray(ld), np.linalg.slogdet(A)[1], rtol=2e-6
     )
+
+
+# ------------------------------------------------- MXU precision dispatch
+def test_mxu_precision_knob(monkeypatch):
+    """PYVBMP_MXU_PRECISION maps to the three lax.Precision levels and the
+    MXU contraction helpers still match the broadcast-reduce form under each
+    (on CPU every level is exact f32, so this checks dispatch + wiring)."""
+    import jax
+    from pyvbmp_tpu.utils import jaxutils as ju
+
+    rs = np.random.RandomState(0)
+    X = jnp.asarray(rs.randn(50, 1, 4).astype(np.float32))
+    pv = jnp.asarray(rs.rand(50, 3, 1).astype(np.float32))
+    want = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }
+    for name, level in want.items():
+        monkeypatch.setenv("PYVBMP_MXU_PRECISION", name)
+        assert ju.mxu_precision() == level
+        SExx, SEx, N = ju.centered_scatter(X, pv, (0,))
+        ref = (pv[..., None] * X[..., :, None] * X[..., None, :]).sum(0)
+        np.testing.assert_allclose(np.asarray(SExx), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    monkeypatch.delenv("PYVBMP_MXU_PRECISION")
+    assert ju.mxu_precision() == jax.lax.Precision.HIGHEST
