@@ -10,12 +10,50 @@ benchmarks/measure_reference.py; value stored in benchmarks/reference_times.json
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+
+
+def wait_for_backend(budget_s=600, probe_timeout_s=75, sleep_s=20):
+    """Block until the accelerator backend answers a trivial dispatch.
+
+    The axon TPU attachment is a network tunnel and can be transiently down
+    (observed: ``jax.devices()`` hanging indefinitely mid-session).  A hung
+    XLA client call cannot be interrupted in-process, so each probe runs in
+    a subprocess with a hard timeout; we retry until the tunnel answers or
+    the budget is spent.  Returns True when the backend is reachable."""
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "jax.devices();"
+        "print(float(jnp.ones(()) + 1.0))"
+    )
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=probe_timeout_s,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            return False
+        print(
+            '{"bench_backend_probe": %d, "status": "unreachable, retrying"}'
+            % attempt,
+            file=sys.stderr,
+        )
+        time.sleep(sleep_s)
 
 
 # Benchmark configuration: the reference's own headline workload — DMBD on
@@ -78,6 +116,13 @@ def bench_ours(cfg, data):
 
 
 def main():
+    if not wait_for_backend():
+        print(
+            "bench.py: accelerator backend unreachable after retry budget "
+            "(axon tunnel down?) — refusing to record a bogus number",
+            file=sys.stderr,
+        )
+        sys.exit(3)
     data = make_data(CFG)
     ips, elbos = bench_ours(CFG, data)
 
