@@ -36,8 +36,17 @@ def _bcast(A, B):
 
 
 def psd_solve(A, B):
-    """Solve A X = B for symmetric PD A via Cholesky (batch-broadcasting)."""
+    """Solve A X = B for symmetric PD A via Cholesky (batch-broadcasting).
+
+    On accelerator backends dims in the Schur-dispatch range (see
+    _schur_inv_n_max) route through the straight-line symmetric inverse
+    instead — same rationale as psd_inv: XLA's blocked Cholesky lowers to a
+    sequential loop, the Schur recursion is pure batched matmul code."""
     A, B = _bcast(A, B)
+    if 2 <= A.shape[-1] <= _schur_inv_n_max():
+        if PSD_JITTER:
+            A = A + PSD_JITTER * jnp.eye(A.shape[-1], dtype=A.dtype)
+        return sym_inv(_sym(A)) @ B
     L = chol(A)
     return jax.scipy.linalg.cho_solve((L, True), B)
 
@@ -76,6 +85,10 @@ def psd_inv(A):
 
 
 def psd_logdet(A):
+    if 2 <= A.shape[-1] <= _schur_inv_n_max():
+        if PSD_JITTER:
+            A = A + PSD_JITTER * jnp.eye(A.shape[-1], dtype=A.dtype)
+        return sym_logdet(_sym(A))
     L = chol(A)
     return 2.0 * jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)).sum(-1)
 
@@ -96,6 +109,11 @@ def psd_inv_and_logdet(A):
 
 def psd_solve_and_logdet(A, B):
     A, B = _bcast(A, B)
+    if 2 <= A.shape[-1] <= _schur_inv_n_max():
+        if PSD_JITTER:
+            A = A + PSD_JITTER * jnp.eye(A.shape[-1], dtype=A.dtype)
+        inv, logdet = sym_inv_and_logdet(_sym(A))
+        return inv @ B, logdet
     L = chol(A)
     X = jax.scipy.linalg.cho_solve((L, True), B)
     logdet = 2.0 * jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)).sum(-1)
@@ -263,6 +281,39 @@ def sym_inv_and_logdet(A):
         -2,
     )
     return inv, ld11 + ldS
+
+
+def sym_logdet(A):
+    """logdet of small SYMMETRIC PD matrices via the Schur recursion.
+
+    Cheaper than sym_inv_and_logdet: each level still needs inv11 (to form
+    the Schur complement) but never assembles the inverse's off-diagonal /
+    trailing blocks, and the trailing block recursion is logdet-only."""
+    n = A.shape[-1]
+    if n == 1:
+        return jnp.log(A[..., 0, 0])
+    if n == 2:
+        a = A[..., 0, 0]
+        b = A[..., 0, 1]
+        d = A[..., 1, 1]
+        return jnp.log(a * d - b * b)
+    if n == 3:
+        a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+        e, f = A[..., 1, 1], A[..., 1, 2]
+        i = A[..., 2, 2]
+        det = (
+            a * (e * i - f * f)
+            - b * (b * i - c * f)
+            + c * (b * f - c * e)
+        )
+        return jnp.log(det)
+    k = n // 2
+    A11 = A[..., :k, :k]
+    A12 = A[..., :k, k:]
+    A22 = A[..., k:, k:]
+    inv11, ld11 = sym_inv_and_logdet(A11)
+    S = A22 - mT(A12) @ (inv11 @ A12)
+    return ld11 + sym_logdet(0.5 * (S + mT(S)))
 
 
 def sym_inv(A):

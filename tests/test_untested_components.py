@@ -304,3 +304,36 @@ def test_mxu_precision_knob(monkeypatch):
         np.testing.assert_allclose(np.asarray(SExx), np.asarray(ref), rtol=1e-5, atol=1e-5)
     monkeypatch.delenv("PYVBMP_MXU_PRECISION")
     assert ju.mxu_precision() == jax.lax.Precision.HIGHEST
+
+
+# ----------------------------------------- PSD solve/logdet Schur dispatch
+@pytest.mark.parametrize("d", [4, 5, 16, 33])
+def test_psd_solve_logdet_schur_dispatch(d, monkeypatch):
+    """psd_solve / psd_logdet / psd_solve_and_logdet under the forced Schur
+    dispatch (PYVBMP_PSD_INV=<int> engages it even on CPU) must match their
+    Cholesky forms — this is the branch every per-iteration message/M-step
+    solve runs on accelerator backends.  Odd dims exercise uneven splits."""
+    from pyvbmp_tpu.utils import linalg as la
+
+    rs = np.random.RandomState(d)
+    A = rs.randn(3, d, d)
+    A = (A @ A.transpose(0, 2, 1) + d * np.eye(d)).astype(np.float32)
+    B = rs.randn(3, d, 2).astype(np.float32)
+    Aj, Bj = jnp.asarray(A), jnp.asarray(B)
+
+    monkeypatch.delenv("PYVBMP_PSD_INV", raising=False)
+    assert la._schur_inv_n_max() == 0  # CPU default: Cholesky everywhere
+    X0 = np.asarray(la.psd_solve(Aj, Bj))
+    ld0 = np.asarray(la.psd_logdet(Aj))
+
+    monkeypatch.setenv("PYVBMP_PSD_INV", "128")
+    assert la._schur_inv_n_max() == 128
+    X1 = np.asarray(la.psd_solve(Aj, Bj))
+    ld1 = np.asarray(la.psd_logdet(Aj))
+    X2, ld2 = la.psd_solve_and_logdet(Aj, Bj)
+
+    np.testing.assert_allclose(X1, X0, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(X2), X0, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(ld1, np.linalg.slogdet(A.astype(np.float64))[1],
+                               rtol=3e-6)
+    np.testing.assert_allclose(np.asarray(ld2), ld1, rtol=1e-6)
