@@ -19,38 +19,58 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def wait_for_backend(budget_s=600, probe_timeout_s=75, sleep_s=20):
+def wait_for_backend(budget_s=1800, probe_timeout_s=75, sleep_s=20):
     """Block until the accelerator backend answers a trivial dispatch.
 
     The axon TPU attachment is a network tunnel and can be transiently down
-    (observed: ``jax.devices()`` hanging indefinitely mid-session).  A hung
-    XLA client call cannot be interrupted in-process, so each probe runs in
-    a subprocess with a hard timeout; we retry until the tunnel answers or
-    the budget is spent.  Returns True when the backend is reachable."""
+    (observed: ``jax.devices()`` hanging indefinitely mid-session; cost us
+    the round-4 capture — BENCH_r04.json rc=3).  A hung XLA client call
+    cannot be interrupted in-process, so each probe runs in a subprocess
+    with a hard timeout; we retry until the tunnel answers or the budget is
+    spent.  Each failed probe logs its failure mode ("hang" = subprocess
+    timeout, i.e. tunnel down; "error" = clean nonzero exit + stderr tail)
+    so a down tunnel is distinguishable from a bench regression in the
+    driver's captured output.  The probe also asserts the backend that
+    answered is an accelerator — a cleanly-failing TPU plugin would
+    otherwise fall back to CPU, pass the dispatch, and record a bogus
+    number (ADVICE r4).  Returns True when the backend is reachable."""
+    if os.environ.get("PYVBMP_BENCH_ALLOW_CPU"):
+        return True
     probe = (
         "import jax, jax.numpy as jnp;"
         "jax.devices();"
+        "assert jax.default_backend() != 'cpu', jax.default_backend();"
         "print(float(jnp.ones(()) + 1.0))"
     )
     deadline = time.monotonic() + budget_s
     attempt = 0
     while True:
         attempt += 1
+        mode, detail = None, ""
         try:
             r = subprocess.run(
                 [sys.executable, "-c", probe],
                 timeout=probe_timeout_s,
                 capture_output=True,
+                text=True,
             )
             if r.returncode == 0:
                 return True
+            mode = "error"
+            detail = (r.stderr or "").strip()[-300:]
         except subprocess.TimeoutExpired:
-            pass
+            mode = "hang"
         if time.monotonic() >= deadline:
             return False
         print(
-            '{"bench_backend_probe": %d, "status": "unreachable, retrying"}'
-            % attempt,
+            json.dumps(
+                {
+                    "bench_backend_probe": attempt,
+                    "failure_mode": mode,
+                    "detail": detail,
+                    "status": "unreachable, retrying",
+                }
+            ),
             file=sys.stderr,
         )
         time.sleep(sleep_s)

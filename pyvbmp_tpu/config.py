@@ -37,10 +37,11 @@ def clear_jit_memos() -> None:
     PYVBMP_* dispatch knobs; a tuning harness that sweeps knobs
     accumulates one compiled program per combination for the process
     lifetime.  Call this between sweep points to release them."""
-    from .ops import pallas_scan, parallel_hmm, parallel_kalman
+    from .ops import chunked_scan, pallas_scan, parallel_hmm, parallel_kalman
     from .parallel import seq_parallel
 
-    for mod in (pallas_scan, parallel_hmm, parallel_kalman, seq_parallel):
+    for mod in (chunked_scan, pallas_scan, parallel_hmm, parallel_kalman,
+                seq_parallel):
         for obj in vars(mod).values():
             if callable(obj) and hasattr(obj, "cache_clear"):
                 obj.cache_clear()

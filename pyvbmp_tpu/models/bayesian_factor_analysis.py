@@ -45,10 +45,10 @@ class BayesianFactorAnalysis:
     def raw_update(self, Y, iters=1, lr=1.0, verbose=False):
         step = jax.jit(_bfa_step, static_argnums=(3,))
         for _ in range(iters):
-            self.A, logZ, pz = step(self.A, Y, lr, self.latent_dim)
+            self.A, logZ, pz, KL_pre = step(self.A, Y, lr, self.latent_dim)
             self.pz = pz
             self.logZ = logZ
-            ELBO = logZ - self.KLqprior()
+            ELBO = logZ - KL_pre
             if verbose:
                 print(
                     "Percent change in ELBO: ",
@@ -98,5 +98,8 @@ def _bfa_step(A, Y, lr, latent_dim):
     SEyz = (Yv @ mT(pz.mean())).sum(sample_dims)
     N = jnp.asarray(float(np.prod(Yv.shape[: len(sample_dims)], dtype=np.float64)))
     N = jnp.broadcast_to(N, A.batch_shape + A.event_shape[:-2])
+    # reference order (BayesianFactorAnalysis.py:55-60): ELBO_last is
+    # logZ - KL(q(A)) of the PRE-M-step posterior; ss_update happens after
+    KL_pre = A.KLqprior()
     A = A.ss_update(SEzz, SEyz, SEyy, N, lr=lr)
-    return A, logZ, pz
+    return A, logZ, pz, KL_pre

@@ -41,7 +41,16 @@ def psd_solve(A, B):
     On accelerator backends dims in the Schur-dispatch range (see
     _schur_inv_n_max) route through the straight-line symmetric inverse
     instead — same rationale as psd_inv: XLA's blocked Cholesky lowers to a
-    sequential loop, the Schur recursion is pure batched matmul code."""
+    sequential loop, the Schur recursion is pure batched matmul code.
+
+    Conditioning assumption: the Schur branch solves via the explicit
+    inverse (sym_inv(A) @ B), which is not backward-stable the way
+    cho_solve is — error grows with cond(A).  This is a deliberate
+    accelerator trade-off: the framework's per-iteration solves act on
+    posterior precision/covariance blocks kept well-conditioned by the
+    conjugate updates (priors contribute >= nu_0 * I-scale mass) and by
+    PSD_JITTER.  If ill-conditioned M-step precisions ever show up, set
+    PYVBMP_PSD_INV=chol to keep solves on the Cholesky path."""
     A, B = _bcast(A, B)
     if 2 <= A.shape[-1] <= _schur_inv_n_max():
         if PSD_JITTER:
@@ -288,7 +297,15 @@ def sym_logdet(A):
 
     Cheaper than sym_inv_and_logdet: each level still needs inv11 (to form
     the Schur complement) but never assembles the inverse's off-diagonal /
-    trailing blocks, and the trailing block recursion is logdet-only."""
+    trailing blocks, and the trailing block recursion is logdet-only.
+
+    fp32 dynamic-range assumption: the n<=3 leaves take log of a raw
+    cofactor determinant (a*d - b*b etc.), which can underflow to -inf or
+    cancel for blocks whose determinant is far below fp32 range — unlike
+    the Cholesky path's sum of log-diagonals.  Fine for this framework's
+    jitter-regularized posterior blocks; if extreme scales arise, rescale
+    first (logdet(cA) = n*log(c) + logdet(A)) or use the Cholesky path
+    (PYVBMP_PSD_INV=chol)."""
     n = A.shape[-1]
     if n == 1:
         return jnp.log(A[..., 0, 0])

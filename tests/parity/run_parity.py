@@ -520,6 +520,189 @@ def parity_nlr_orig(iters=6):
     report("nlr_orig", refs, ours)
 
 
+def parity_bfa(iters=6):
+    """BayesianFactorAnalysis ELBO_last trajectory vs reference
+    (reference models/BayesianFactorAnalysis.py:40-60)."""
+    from models import BayesianFactorAnalysis as TBFA
+    from pyvbmp_tpu.models import BayesianFactorAnalysis as JBFA
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    o, h, ns = 6, 2, 120
+    Z = rs.randn(ns, h)
+    W = rs.randn(o, h) * 2.0
+    Y = Z @ W.T + 0.2 * rs.randn(ns, o)
+
+    tm = TBFA(o, h)
+    jm = JBFA(o, h)
+    jm.A = copy_mng(jm.A, tm.A)
+
+    tY, jY = torch.tensor(Y), jnp.asarray(Y)
+    refs, ours = [], []
+    for _ in range(iters):
+        tm.raw_update(tY, iters=1)
+        refs.append(float(tm.ELBO_last.sum()))
+        jm.raw_update(jY, iters=1)
+        ours.append(float(np.sum(np.asarray(jm.ELBO_last))))
+    report("bfa", refs, ours)
+
+
+def parity_dhmm(iters=5):
+    """dHMM (input-driven transitions via per-row MNLR) ELBO trajectory vs
+    reference (reference models/dHMM.py:42-78,113-137)."""
+    import dists as tdists
+    from models.dHMM import dHMM as TDHMM
+    from pyvbmp_tpu.dists import NormalInverseWishart as JNIW
+    from pyvbmp_tpu.models import dHMM as JDHMM
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    T, B, K, d, p = 30, 4, 3, 2, 2
+    mus = rs.randn(K, d) * 3
+    X = rs.randn(T, B, p)
+    z = np.zeros((T, B), int)
+    for t in range(1, T):
+        for b in range(B):
+            z[t, b] = (z[t - 1, b] + (1 if X[t, b, 0] > 0 else 0)) % K
+    Y = mus[z] + 0.3 * rs.randn(T, B, d)
+
+    tobs = tdists.NormalInverseWishart(event_shape=(d,), batch_shape=(K,))
+    tm = TDHMM(obs_dist=tobs, p=p)
+    jobs = JNIW.create((d,), batch_shape=(K,))
+    jm = JDHMM(jobs, p=p)
+    jm.obs_dist = copy_niw(jm.obs_dist, tm.obs_dist)
+    jm.initial = copy_dirichlet(jm.initial, tm.initial)
+    jm.transition.beta = copy_mvn_ard(jm.transition.beta, tm.transition.beta)
+
+    tX, tY = torch.tensor(X), torch.tensor(Y)
+    jX, jY = jnp.asarray(X), jnp.asarray(Y)
+    refs, ours = [], []
+    for _ in range(iters):
+        tm.raw_update(tX, tY, iters=1, lr=0.7)
+        refs.append(float(tm.ELBO().sum()))
+        jm.raw_update(jX, jY, iters=1, lr=0.7)
+        ours.append(float(np.sum(np.asarray(jm.ELBO()))))
+    report("dhmm", refs, ours)
+
+
+def parity_tensor_hmm(iters=6):
+    """Tensor_HMM (multi-axis state via Transition) ELBO trajectory vs
+    reference (reference models/Tensor_HMM.py:41-116)."""
+    import dists as tdists
+    from models.Tensor_HMM import Tensor_HMM as TTHMM
+    from pyvbmp_tpu.dists import NormalInverseWishart as JNIW
+    from pyvbmp_tpu.models import Tensor_HMM as JTHMM
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    T, B, d = 40, 3, 2
+    es = (3, 2)
+    K = int(np.prod(es))
+    mus = rs.randn(K, d) * 3
+    z = np.zeros((T, B), int)
+    for t in range(1, T):
+        for b in range(B):
+            z[t, b] = z[t - 1, b] if rs.rand() < 0.85 else rs.randint(K)
+    X = mus[z] + 0.3 * rs.randn(T, B, d)
+
+    tobs = tdists.NormalInverseWishart(event_shape=(d,), batch_shape=es)
+    tm = TTHMM(tobs, event_shape=es)
+    jobs = JNIW.create((d,), batch_shape=es)
+    jm = JTHMM(jobs, event_shape=es)
+    jm.obs_dist = copy_niw(jm.obs_dist, tm.obs_dist)
+    jm.transition = copy_dirichlet(jm.transition, tm.transition)
+    jm.initial = copy_dirichlet(jm.initial, tm.initial)
+
+    tX, jX = torch.tensor(X), jnp.asarray(X)
+    refs, ours = [], []
+    for _ in range(iters):
+        tm.update(tX, iters=1)
+        refs.append(float(tm.ELBO().sum()))
+        jm.update(jX, iters=1)
+        ours.append(float(np.sum(np.asarray(jm.ELBO()))))
+    report("tensor_hmm", refs, ours)
+
+
+def parity_factorial_hmm(iters=5):
+    """Factorial_HMM: factorial transition prior + per-M-step posterior
+    factorization projection vs reference (models/Factorial_HMM.py:24-36)."""
+    from models.Factorial_HMM import Factorial_HMM as TFHMM
+    from pyvbmp_tpu.models import Factorial_HMM as JFHMM
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    T, B, d = 30, 3, 2
+    z1 = np.cumsum(rs.rand(T, B) < 0.1, 0) % 2
+    z2 = np.cumsum(rs.rand(T, B) < 0.15, 0) % 2
+    X = (
+        np.asarray([[-2.0, 0.0], [2.0, 0.0]])[z1]
+        + np.asarray([[0.0, -2.0], [0.0, 2.0]])[z2]
+        + 0.4 * rs.randn(T, B, d)
+    )
+
+    tm = TFHMM(2, (2,), (d,))
+    jm = JFHMM(2, (2,), (d,))
+    jm.obs_dist = copy_niw(jm.obs_dist, tm.obs_dist)
+    jm.transition = copy_dirichlet(jm.transition, tm.transition)
+    jm.initial = copy_dirichlet(jm.initial, tm.initial)
+
+    tX, jX = torch.tensor(X), jnp.asarray(X)
+    refs, ours = [], []
+    for _ in range(iters):
+        tm.update(tX, iters=1)
+        refs.append(float(tm.ELBO().sum()))
+        jm.update(jX, iters=1)
+        ours.append(float(np.sum(np.asarray(jm.ELBO()))))
+    report("factorial_hmm", refs, ours)
+
+
+def parity_hhmm(iters=5):
+    """HHMM (hierarchical transition factorization) ELBO trajectory vs
+    reference (reference models/HHMM.py:47-113)."""
+    import dists as tdists
+    from models.HHMM import HHMM as THHMM
+    from pyvbmp_tpu.dists import NormalInverseWishart as JNIW
+    from pyvbmp_tpu.models import HHMM as JHHMM
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    T, B, d = 30, 3, 2
+    es = (3, 2)
+    K = int(np.prod(es))
+    mus = rs.randn(K, d) * 3
+    z = np.zeros((T, B), int)
+    for t in range(1, T):
+        for b in range(B):
+            z[t, b] = z[t - 1, b] if rs.rand() < 0.85 else rs.randint(K)
+    X = mus[z] + 0.3 * rs.randn(T, B, d)
+
+    tobs = tdists.NormalInverseWishart(event_shape=(d,), batch_shape=es)
+    tm = THHMM(tobs, event_dim=2)
+    jobs = JNIW.create((d,), batch_shape=es)
+    jm = JHHMM(jobs, event_dim=2)
+    jm.obs_dist = copy_niw(jm.obs_dist, tm.obs_dist)
+    jm.transition = type(jm.transition)(
+        dists=[
+            copy_dirichlet(jd, td)
+            for jd, td in zip(jm.transition.dists, tm.transition.dists)
+        ],
+        NA=jm.transition.NA,
+        event_shape=jm.transition.event_shape,
+        batch_shape=jm.transition.batch_shape,
+        sum_list=jm.transition.sum_list,
+    )
+    jm.initial = copy_dirichlet(jm.initial, tm.initial)
+
+    tX, jX = torch.tensor(X), jnp.asarray(X)
+    refs, ours = [], []
+    for _ in range(iters):
+        tm.update(tX, iters=1)
+        refs.append(float(tm.ELBO().sum()))
+        jm.update(jX, iters=1)
+        ours.append(float(np.sum(np.asarray(jm.ELBO()))))
+    report("hhmm", refs, ours)
+
+
 CASES = {
     "gmm": parity_gmm,
     "hmm": parity_hmm,
@@ -532,6 +715,11 @@ CASES = {
     "mixlds": parity_mixlds,
     "hdir": parity_hdir,
     "nlr_orig": parity_nlr_orig,
+    "bfa": parity_bfa,
+    "dhmm": parity_dhmm,
+    "tensor_hmm": parity_tensor_hmm,
+    "factorial_hmm": parity_factorial_hmm,
+    "hhmm": parity_hhmm,
 }
 
 

@@ -16,7 +16,7 @@ import pytest
 
 REF = "/root/reference"
 HARNESS = os.path.join(os.path.dirname(__file__), "parity", "run_parity.py")
-N_ORACLES = 11
+N_ORACLES = 16
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference tree not mounted"
@@ -49,6 +49,7 @@ def test_parity_all_oracles():
     [
         "gmm", "hmm", "lds", "mnw", "mnlr", "dmbd",
         "gmm_isotropic", "arhmm", "mixlds", "hdir", "nlr_orig",
+        "bfa", "dhmm", "tensor_hmm", "factorial_hmm", "hhmm",
     ],
 )
 def test_parity_deep(which):

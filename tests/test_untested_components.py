@@ -321,8 +321,12 @@ def test_psd_solve_logdet_schur_dispatch(d, monkeypatch):
     B = rs.randn(3, d, 2).astype(np.float32)
     Aj, Bj = jnp.asarray(A), jnp.asarray(B)
 
-    monkeypatch.delenv("PYVBMP_PSD_INV", raising=False)
-    assert la._schur_inv_n_max() == 0  # CPU default: Cholesky everywhere
+    # Pin the baseline leg to the Cholesky path explicitly: 'auto' (unset)
+    # is backend-dependent (0 on CPU, 128 on accelerators), so relying on
+    # delenv would break this test — and silently change X0's meaning — if
+    # the suite ever ran on an accelerator host (ADVICE r4).
+    monkeypatch.setenv("PYVBMP_PSD_INV", "0")
+    assert la._schur_inv_n_max() == 0  # forced: Cholesky everywhere
     X0 = np.asarray(la.psd_solve(Aj, Bj))
     ld0 = np.asarray(la.psd_logdet(Aj))
 
@@ -337,3 +341,38 @@ def test_psd_solve_logdet_schur_dispatch(d, monkeypatch):
     np.testing.assert_allclose(ld1, np.linalg.slogdet(A.astype(np.float64))[1],
                                rtol=3e-6)
     np.testing.assert_allclose(np.asarray(ld2), ld1, rtol=1e-6)
+
+
+# ----------------------------------------------------- jit memo lifecycle
+def test_clear_jit_memos_releases_smoother_programs():
+    """config.clear_jit_memos drops every memoized jitted smoother program
+    (ADVICE r4: unbounded lru_caches keyed on env-knob state leak one
+    executable per knob combo in tuning sweeps)."""
+    import jax.numpy as jnp
+
+    from pyvbmp_tpu.config import clear_jit_memos
+    from pyvbmp_tpu.ops import chunked_scan, pallas_scan, parallel_hmm, parallel_kalman
+    from pyvbmp_tpu.ops.parallel_hmm import forward_backward_parallel
+    from pyvbmp_tpu.parallel import seq_parallel
+
+    mods = (chunked_scan, pallas_scan, parallel_hmm, parallel_kalman, seq_parallel)
+
+    def total_cached():
+        n = 0
+        for mod in mods:
+            for obj in vars(mod).values():
+                if callable(obj) and hasattr(obj, "cache_info"):
+                    n += obj.cache_info().currsize
+        return n
+
+    clear_jit_memos()
+    assert total_cached() == 0
+    # populate at least one memoized program
+    T, K = 6, 3
+    logits = jnp.zeros((T, 2, K))
+    trans = jnp.log(jnp.full((K, K), 1.0 / K))
+    init = jnp.log(jnp.full((K,), 1.0 / K))
+    forward_backward_parallel(trans, init, logits)
+    assert total_cached() > 0
+    clear_jit_memos()
+    assert total_cached() == 0
