@@ -122,23 +122,31 @@ class TensorNormalWishart:
         )
         Xc = X - mu
 
-        invU = list(self.invU)
+        # Gauss-Seidel, matching the reference's in-place mutation
+        # (TensorNormalWishart.py:75-89): mode i's scatter uses the
+        # ALREADY-UPDATED invU[j<i] (and the final alpha quad sees all
+        # updated modes) — a Jacobi sweep from the old state converges to
+        # the same fixed point but breaks trajectory parity.
+        cur = self
         for i in range(K):
             idx = [j for j in range(K) if j != i]
             sidx1 = [x for x in range(-2 * K, -K) if x != -2 * K + i]
             sidx2 = [x for x in range(-K, 0) if x != -K + i]
-            temp = self.EinvSigma(idx) * Xc.reshape(Xc.shape + K * (1,))
+            temp = cur.EinvSigma(idx) * Xc.reshape(Xc.shape + K * (1,))
             temp = (temp.sum(tuple(sidx1)) * jnp.expand_dims(Xc, -K - 1)).sum(
                 tuple(sidx2)
             )
             temp = temp.sum(sdims)
+            invU = list(cur.invU)
             invU[i] = invU[i].ss_update(temp, N, lr=lr, beta=beta)
+            cur = replace(cur, invU=invU)
+        invU = list(cur.invU)
 
         new_lambda_mu = lr * lambda_mu + beta * self.lambda_mu
         new_mu = lr * mu + beta * self.mu
 
         quad = (
-            self.EinvSigma()
+            cur.EinvSigma()
             * Xc.reshape(sample_shape + self.batch_shape + self.event_shape + K * (1,))
             * Xc.reshape(sample_shape + self.batch_shape + K * (1,) + self.event_shape)
         ).sum(sdims)

@@ -703,6 +703,418 @@ def parity_hhmm(iters=5):
     report("hhmm", refs, ours)
 
 
+def copy_wishart_eigh(jw, tw):
+    return replace(
+        jw,
+        invU_0=t2j(tw.invU_0),
+        nu_0=t2j(tw.nu_0),
+        logdet_invU_0=t2j(tw.logdet_invU_0),
+        d=t2j(tw.d),
+        v=t2j(tw.v),
+        nu=t2j(tw.nu),
+    )
+
+
+def parity_dmixlt(iters=5):
+    """dMixtureofLinearTransforms (mixture-of-experts) ELBO trajectory vs
+    reference (transforms/dMixtureofLinearTransforms.py:37-56)."""
+    from transforms.dMixtureofLinearTransforms import (
+        dMixtureofLinearTransforms as TDMLT,
+    )
+    from pyvbmp_tpu.transforms import dMixtureofLinearTransforms as JDMLT
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    n, p, K, ns = 2, 3, 3, 150
+    W = rs.randn(K, n, p) * 2
+    z = rs.randint(0, K, ns)
+    X = rs.randn(ns, p) + 2.0 * (z[:, None] - 1)
+    Y = np.einsum("snp,sp->sn", W[z], X) + 0.1 * rs.randn(ns, n)
+
+    tm = TDMLT(n, p, K)
+    jm = JDMLT(n, p, K)
+    jm.A = copy_mnw(jm.A, tm.A)
+    jm.pi.beta = copy_mvn_ard(jm.pi.beta, tm.pi.beta)
+
+    tX, tY = torch.tensor(X), torch.tensor(Y)
+    jX, jY = jnp.asarray(X), jnp.asarray(Y)
+    refs, ours = [], []
+    for _ in range(iters):
+        tm.raw_update(tX, tY, iters=1, lr=1.0, verbose=True)
+        refs.append(float(tm.ELBO_last.sum()))
+        jm.raw_update(jX, jY, iters=1, lr=1.0, verbose=True)
+        ours.append(float(np.sum(np.asarray(jm.ELBO_last))))
+    report("dmixlt", refs, ours)
+
+
+def parity_mixlt(iters=6):
+    """MixtureofLinearTransforms ELBO trajectory vs reference
+    (transforms/MixtureofLinearTransforms.py:50-61)."""
+    from transforms.MixtureofLinearTransforms import (
+        MixtureofLinearTransforms as TMLT,
+    )
+    from pyvbmp_tpu.transforms import MixtureofLinearTransforms as JMLT
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    n, p, K, ns = 2, 3, 3, 150
+    W = rs.randn(K, n, p) * 2
+    z = rs.randint(0, K, ns)
+    X = rs.randn(ns, p)
+    Y = np.einsum("snp,sp->sn", W[z], X) + 0.1 * rs.randn(ns, n)
+
+    tm = TMLT(n, p, K)
+    jm = JMLT(n, p, K)
+    jm.W = copy_mnw(jm.W, tm.W)
+    jm.pi = copy_dirichlet(jm.pi, tm.pi)
+
+    tXv = torch.tensor(X).unsqueeze(-1)
+    tYv = torch.tensor(Y).unsqueeze(-1)
+    jXv = jnp.asarray(X)[..., None]
+    jYv = jnp.asarray(Y)[..., None]
+    refs, ours = [], []
+    for _ in range(iters):
+        tm.raw_update(tXv, tYv, iters=1)
+        refs.append(float(tm.ELBO_last.sum()))
+        jm.raw_update(jXv, jYv, iters=1)
+        ours.append(float(np.sum(np.asarray(jm.ELBO_last))))
+    report("mixlt", refs, ours)
+
+
+def parity_bouchard(iters=5):
+    """MNLR with the Bouchard bound: beta posterior + log_predict vs
+    reference (transforms/MultiNomialLogisticRegression_Bouchard.py:48-94)."""
+    import transforms.MultiNomialLogisticRegression_Bouchard as TB
+    from pyvbmp_tpu.transforms import (
+        MultiNomialLogisticRegression_Bouchard as JB,
+    )
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    ns, p, K = 150, 2, 3
+    mus = np.asarray([[-3.0, 0.0], [3.0, 0.0], [0.0, 3.0]])
+    X = np.concatenate([mus[i] + rs.randn(ns // 3, p) for i in range(K)])
+    y = np.repeat(np.arange(K), ns // 3)
+    Y = np.eye(K)[y]
+
+    tm = TB.MultiNomialLogisticRegression_Bouchard(K, p, pad_X=True)
+    jm = JB(K, p, pad_X=True)
+    jm.beta = copy_mvn_ard(jm.beta, tm.beta)
+
+    tX, tY = torch.tensor(X), torch.tensor(Y)
+    jX, jY = jnp.asarray(X), jnp.asarray(Y)
+    devs = []
+    for _ in range(iters):
+        tm.raw_update(tX, tY, iters=2)
+        jm.raw_update(jX, jY, iters=2)
+        devs.append(np.abs(np.asarray(jm.beta.mu) - tm.beta.mu.numpy()).max())
+        tlp = tm.log_predict(tX).numpy()
+        jlp = np.asarray(jm.log_predict(jX))
+        devs.append(np.abs(tlp - jlp).max() / max(1.0, np.abs(tlp).max()))
+    print("MAXDEV", max(devs))
+
+
+def parity_tnw(iters=6):
+    """TensorNormalWishart (Kronecker-factored covariance): Elog_like + KL
+    trajectory through raw_update vs reference
+    (dists/TensorNormalWishart.py:59-111)."""
+    from dists.TensorNormalWishart import TensorNormalWishart as TTNW
+    from pyvbmp_tpu.dists import TensorNormalWishart as JTNW
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    es = (3, 2)
+    ns = 80
+    L1 = rs.randn(3, 3) * 0.5 + np.eye(3)
+    L2 = rs.randn(2, 2) * 0.5 + np.eye(2)
+    core = rs.randn(ns, 3, 2)
+    X = np.einsum("ab,sbc,dc->sad", L1, core, L2) + 1.0
+
+    ttnw = TTNW(event_shape=es)
+    jtnw = JTNW.create(event_shape=es)
+    jtnw = replace(
+        jtnw,
+        mu_0=t2j(ttnw.mu_0),
+        mu=t2j(ttnw.mu),
+        lambda_mu_0=t2j(ttnw.lambda_mu_0),
+        lambda_mu=t2j(ttnw.lambda_mu),
+        invU=[
+            copy_wishart_eigh(jw, tw) for jw, tw in zip(jtnw.invU, ttnw.invU)
+        ],
+        alpha=copy_gamma(jtnw.alpha, ttnw.alpha),
+    )
+
+    tX, jX = torch.tensor(X), jnp.asarray(X)
+    refs, ours = [], []
+    for _ in range(iters):
+        ttnw.raw_update(tX, iters=1, lr=0.8)
+        jtnw = jtnw.raw_update(jX, iters=1, lr=0.8)
+        refs.append(float(ttnw.Elog_like(tX).sum() - ttnw.KLqprior().sum()))
+        ours.append(float(np.sum(np.asarray(jtnw.Elog_like(jX))) - np.sum(np.asarray(jtnw.KLqprior()))))
+    report("tnw", refs, ours)
+
+
+def parity_nlr_full(iters=6):
+    """NLRegression_full_rank ELBO trajectory vs reference
+    (transforms/NLRegression_full_rank.py:30-52)."""
+    from transforms.NLRegression_full_rank import NLRegression_full_rank as TN
+    from pyvbmp_tpu.transforms import NLRegression_full_rank as JN
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    n, p, mix, ns = 2, 3, 3, 120
+    X = rs.randn(ns, p)
+    Y = np.tanh(X @ rs.randn(p, n)) + 0.05 * rs.randn(ns, n)
+
+    tm = TN(n, p, mix)
+    jm = JN(n, p, mix)
+    jm.A = copy_mnw(jm.A, tm.A)
+    jm.X = copy_niw(jm.X, tm.X)
+    jm.pi = copy_dirichlet(jm.pi, tm.pi)
+
+    tX, tY = torch.tensor(X), torch.tensor(Y)
+    jX, jY = jnp.asarray(X), jnp.asarray(Y)
+    refs, ours = [], []
+    for _ in range(iters):
+        tm.raw_update(tX, tY, iters=1, lr=0.8)
+        refs.append(float(tm.ELBO().sum()))
+        jm.raw_update(jX, jY, iters=1, lr=0.8)
+        ours.append(float(np.sum(np.asarray(jm.ELBO()))))
+    report("nlr_full", refs, ours)
+
+
+def parity_nlr_low(iters=6):
+    """NLRegression_low_rank ELBO trajectory vs reference
+    (transforms/NLRegression_low_rank.py:41-103)."""
+    from transforms.NLRegression_low_rank import NLRegression_low_rank as TN
+    from pyvbmp_tpu.transforms import NLRegression_low_rank as JN
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    n, p, hid, mix, ns = 2, 3, 2, 3, 120
+    X = rs.randn(ns, p)
+    Y = np.tanh(X @ rs.randn(p, n)) + 0.05 * rs.randn(ns, n)
+
+    tm = TN(n, p, hid, mix)
+    jm = JN(n, p, hid, mix)
+    jm.W = copy_mnw(jm.W, tm.W)
+    jm.A = copy_mnw(jm.A, tm.A)
+    jm.U = copy_normal_gamma(jm.U, tm.U)
+    jm.pi = copy_dirichlet(jm.pi, tm.pi)
+
+    tX, tY = torch.tensor(X), torch.tensor(Y)
+    jX, jY = jnp.asarray(X), jnp.asarray(Y)
+    refs, ours = [], []
+    for _ in range(iters):
+        tm.raw_update(tX, tY, iters=1, lr=0.8)
+        refs.append(float(tm.ELBO().sum()))
+        jm.raw_update(jX, jY, iters=1, lr=0.8)
+        ours.append(float(np.sum(np.asarray(jm.ELBO()))))
+    report("nlr_low", refs, ours)
+
+
+def parity_rrr(iters=6):
+    """ReducedRankRegression logZ-KL trajectory vs reference
+    (transforms/ReducedRankRegression.py:43-81)."""
+    from transforms.ReducedRankRegression import ReducedRankRegression as TR
+    from pyvbmp_tpu.transforms import ReducedRankRegression as JR
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    n, p, dim, ns = 3, 4, 2, 120
+    U = rs.randn(ns, dim)
+    A = rs.randn(n, dim)
+    B = rs.randn(p, dim)
+    Y = U @ A.T + 0.1 * rs.randn(ns, n)
+    X = U @ B.T + 0.1 * rs.randn(ns, p)
+
+    tm = TR(n, p, dim)
+    jm = JR(n, p, dim)
+    jm.A = copy_mnw(jm.A, tm.A)
+    jm.B = copy_mnw(jm.B, tm.B)
+    jm.U = copy_normal_gamma(jm.U, tm.U)
+
+    tX, tY = torch.tensor(X), torch.tensor(Y)
+    jX, jY = jnp.asarray(X), jnp.asarray(Y)
+    refs, ours = [], []
+    for _ in range(iters):
+        tm.raw_update(tX, tY, iters=1, lr=0.8)
+        refs.append(float(tm.logZ.sum() - tm.KLqprior().sum()))
+        jm.raw_update(jX, jY, iters=1, lr=0.8)
+        ours.append(
+            float(np.sum(np.asarray(jm.logZ)) - np.sum(np.asarray(jm.KLqprior())))
+        )
+    report("rrr", refs, ours)
+
+
+def parity_dmbd_multiobj(iters=6):
+    """Flagship multi-object path: DMBD with number_of_objects=2 at the
+    Flocking-class config (role_dims=(2,2,2), hidden_dims=(2,2,2),
+    obs_shape=(6,2)) — exercises n_object_mask
+    (reference DynamicMarkovBlanketDiscovery.py:223-275) and the role
+    E-step (:113-132) against the torch reference."""
+    from models.DynamicMarkovBlanketDiscovery import (
+        DynamicMarkovBlanketDiscovery as TDMBD,
+    )
+    from pyvbmp_tpu.models import DynamicMarkovBlanketDiscovery as JDMBD
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    T, B, n_obs, obs_dim = 25, 2, 6, 2
+    y = np.cumsum(rs.randn(T, B, n_obs, obs_dim), 0) * 0.1
+
+    tm = TDMBD(
+        obs_shape=(n_obs, obs_dim), role_dims=[2, 2, 2], hidden_dims=[2, 2, 2],
+        number_of_objects=2,
+    )
+    jm = JDMBD(
+        obs_shape=(n_obs, obs_dim), role_dims=(2, 2, 2), hidden_dims=(2, 2, 2),
+        number_of_objects=2,
+    )
+    jm.x0 = copy_niw(jm.x0, tm.x0)
+    jm.A = copy_mng(jm.A, tm.A)
+    jm.obs_model.obs_dist = copy_mnw(jm.obs_model.obs_dist, tm.obs_model.obs_dist)
+    jm.obs_model.transition = copy_dirichlet(
+        jm.obs_model.transition, tm.obs_model.transition
+    )
+    jm.obs_model.initial = copy_dirichlet(jm.obs_model.initial, tm.obs_model.initial)
+
+    ty, jy = torch.tensor(y), jnp.asarray(y)
+    refs, ours = [], []
+    for _ in range(iters):
+        tm.update(ty, None, None, iters=1, latent_iters=1, lr=1.0)
+        refs.append(float(tm.ELBO_last))
+        jm.update(jy, iters=1, latent_iters=1, lr=1.0)
+        ours.append(float(jm.ELBO_last))
+    report("dmbd_multiobj", refs, ours)
+
+
+def parity_dmbd_deep(iters=8):
+    """DMBD oracle depth (VERDICT r4 item 10): obs_shape=(6,2), nonzero
+    control_dim/regression_dim (real u and r inputs), asymmetric
+    role/hidden dims, 8 coordinate-ascent sweeps — catches shape-dependent
+    errors the toy single-object config cannot.  (batch_shape != () was
+    the other requested axis, but the REFERENCE crashes for any DMBD
+    batch_shape — its role-message assembly can't broadcast the extra dim
+    (RuntimeError in MatrixNormalWishart.Elog_like_given_pX_pY via
+    ARHMM.obs_logits; verified with a minimal (2,)-batch construct+update)
+    — so parity there is unattainable and the config widens along the
+    axes the reference supports.)"""
+    from models.DynamicMarkovBlanketDiscovery import (
+        DynamicMarkovBlanketDiscovery as TDMBD,
+    )
+    from pyvbmp_tpu.models import DynamicMarkovBlanketDiscovery as JDMBD
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(1)
+    T, B, n_obs, obs_dim = 20, 2, 6, 2
+    y = np.cumsum(rs.randn(T, B, n_obs, obs_dim), 0) * 0.1
+    u = rs.randn(T, B, 1)
+    r = rs.randn(T, B, n_obs, 1)
+
+    kw = dict(
+        obs_shape=(n_obs, obs_dim), control_dim=1, regression_dim=1,
+    )
+    tm = TDMBD(role_dims=[2, 1, 2], hidden_dims=[2, 2, 1], **kw)
+    jm = JDMBD(role_dims=(2, 1, 2), hidden_dims=(2, 2, 1), **kw)
+    jm.x0 = copy_niw(jm.x0, tm.x0)
+    jm.A = copy_mng(jm.A, tm.A)
+    jm.obs_model.obs_dist = copy_mnw(jm.obs_model.obs_dist, tm.obs_model.obs_dist)
+    jm.obs_model.transition = copy_dirichlet(
+        jm.obs_model.transition, tm.obs_model.transition
+    )
+    jm.obs_model.initial = copy_dirichlet(jm.obs_model.initial, tm.obs_model.initial)
+
+    ty, jy = torch.tensor(y), jnp.asarray(y)
+    tu, ju = torch.tensor(u), jnp.asarray(u)
+    tr, jr = torch.tensor(r), jnp.asarray(r)
+    refs, ours = [], []
+    for _ in range(iters):
+        tm.update(ty, tu, tr, iters=1, latent_iters=1, lr=1.0)
+        refs.append(float(tm.ELBO_last))
+        jm.update(jy, ju, jr, iters=1, latent_iters=1, lr=1.0)
+        ours.append(float(jm.ELBO_last))
+    report("dmbd_deep", refs, ours)
+
+
+def parity_unit_constraints(iters=5):
+    """Wishart_UnitDet / Wishart_UnitTrace / DiagonalWishart_UnitTrace
+    Newton-solver parity on identical sufficient statistics, plus the
+    constraints themselves (reference dists/Wishart_UnitDet.py:9-15,
+    Wishart_UnitTrace.py:12-18, DiagonalWishart_UnitTrace.py:18-28)."""
+    from dists.Wishart_UnitDet import Wishart_UnitDet as TWUD
+    from dists.Wishart_UnitTrace import Wishart_UnitTrace as TWUT
+    from dists.DiagonalWishart_UnitTrace import (
+        DiagonalWishart_UnitTrace as TDWUT,
+    )
+    from pyvbmp_tpu.dists.wishart import WishartUnitDet, WishartUnitTrace
+    from pyvbmp_tpu.dists.diagonal_wishart import DiagonalWishartUnitTrace
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(0)
+    d, ns = 4, 60
+    devs = []
+
+    twud = TWUD(event_shape=(d, d))
+    jwud = WishartUnitDet.create((d, d))
+    jwud = copy_wishart_eigh(jwud, twud)
+    twut = TWUT(event_shape=(d, d))
+    jwut = WishartUnitTrace.create((d, d))
+    jwut = copy_wishart_eigh(jwut, twut)
+    tdwut = TDWUT(event_shape=(d,))
+    jdwut = DiagonalWishartUnitTrace.create((d,))
+    jdwut = replace(jdwut, gamma=copy_gamma(jdwut.gamma, tdwut.gamma))
+
+    for it in range(iters):
+        X = rs.randn(ns, d) * (1.0 + it * 0.3)
+        SExx = X.T @ X
+        n = float(ns)
+        twud.ss_update(torch.tensor(SExx), torch.tensor(n), lr=0.7)
+        jwud = jwud.ss_update(jnp.asarray(SExx), jnp.asarray(n), lr=0.7)
+        devs.append(
+            np.abs(np.asarray(jwud.EinvSigma()) - twud.EinvSigma().numpy()).max()
+            / max(1.0, np.abs(twud.EinvSigma().numpy()).max())
+        )
+        devs.append(abs(float(jwud.nu) - float(twud.nu)) / float(twud.nu))
+        # the UnitDet constraint: <logdet Sigma^-1> = 0
+        devs.append(abs(float(np.asarray(jwud.ElogdetinvSigma()))) * 1e-3)
+
+        twut.ss_update(torch.tensor(SExx), torch.tensor(n), lr=0.7)
+        jwut = jwut.ss_update(jnp.asarray(SExx), jnp.asarray(n), lr=0.7)
+        devs.append(
+            np.abs(np.asarray(jwut.EinvSigma()) - twut.EinvSigma().numpy()).max()
+            / max(1.0, np.abs(twut.EinvSigma().numpy()).max())
+        )
+        # the UnitTrace "constraint" is only approximately enforced by the
+        # reference's 8 clamped Newton iterations and drifts far from dim
+        # once stats dwarf the prior (measured: trace ~5e5 in BOTH
+        # frameworks by sweep 2) — parity is agreement with the reference's
+        # actual Newton output, not the idealized Tr=dim
+        tr_t = float(
+            torch.diagonal(twut.EinvSigma(), dim1=-2, dim2=-1).sum()
+        )
+        tr_j = float(np.trace(np.asarray(jwut.EinvSigma())))
+        devs.append(abs(tr_j - tr_t) / max(1.0, abs(tr_t)))
+
+        SExx_diag = np.diag(SExx).copy()
+        Nvec = np.full((d,), n)
+        tdwut.ss_update(torch.tensor(SExx_diag), torch.tensor(Nvec), lr=0.7)
+        jdwut = jdwut.ss_update(jnp.asarray(SExx_diag), jnp.asarray(Nvec), lr=0.7)
+        devs.append(
+            np.abs(
+                np.asarray(jdwut.gamma.alpha) - tdwut.gamma.alpha.numpy()
+            ).max()
+            / max(1.0, np.abs(tdwut.gamma.alpha.numpy()).max())
+        )
+        devs.append(
+            np.abs(
+                np.asarray(jdwut.gamma.beta) - tdwut.gamma.beta.numpy()
+            ).max()
+            / max(1.0, np.abs(tdwut.gamma.beta.numpy()).max())
+        )
+    print("MAXDEV", max(devs))
+
+
 CASES = {
     "gmm": parity_gmm,
     "hmm": parity_hmm,
@@ -720,6 +1132,16 @@ CASES = {
     "tensor_hmm": parity_tensor_hmm,
     "factorial_hmm": parity_factorial_hmm,
     "hhmm": parity_hhmm,
+    "dmixlt": parity_dmixlt,
+    "mixlt": parity_mixlt,
+    "bouchard": parity_bouchard,
+    "tnw": parity_tnw,
+    "nlr_full": parity_nlr_full,
+    "nlr_low": parity_nlr_low,
+    "rrr": parity_rrr,
+    "unit_constraints": parity_unit_constraints,
+    "dmbd_multiobj": parity_dmbd_multiobj,
+    "dmbd_deep": parity_dmbd_deep,
 }
 
 

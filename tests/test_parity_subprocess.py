@@ -16,7 +16,7 @@ import pytest
 
 REF = "/root/reference"
 HARNESS = os.path.join(os.path.dirname(__file__), "parity", "run_parity.py")
-N_ORACLES = 16
+N_ORACLES = 26
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference tree not mounted"
@@ -50,6 +50,9 @@ def test_parity_all_oracles():
         "gmm", "hmm", "lds", "mnw", "mnlr", "dmbd",
         "gmm_isotropic", "arhmm", "mixlds", "hdir", "nlr_orig",
         "bfa", "dhmm", "tensor_hmm", "factorial_hmm", "hhmm",
+        "dmixlt", "mixlt", "bouchard", "tnw",
+        "nlr_full", "nlr_low", "rrr", "unit_constraints",
+        "dmbd_multiobj", "dmbd_deep",
     ],
 )
 def test_parity_deep(which):

@@ -376,3 +376,29 @@ def test_clear_jit_memos_releases_smoother_programs():
     assert total_cached() > 0
     clear_jit_memos()
     assert total_cached() == 0
+
+
+# -------------------------------------------- DMBD multi-object default gate
+def test_dmbd_three_objects_monotone_elbo():
+    """The flagship's n_object_mask path (reference
+    DynamicMarkovBlanketDiscovery.py:223-275) fitted at number_of_objects=3:
+    ELBO non-decreasing across coordinate-ascent sweeps (VERDICT r4 item 2 —
+    this path previously had only a plotting smoke test)."""
+    import jax.numpy as jnp
+
+    from pyvbmp_tpu.models import DynamicMarkovBlanketDiscovery
+
+    rng.seed(0)
+    rs = np.random.RandomState(0)
+    T, B, n_obs, obs_dim = 25, 3, 6, 2
+    y = jnp.asarray(np.cumsum(rs.randn(T, B, n_obs, obs_dim), 0) * 0.1)
+    m = DynamicMarkovBlanketDiscovery(
+        obs_shape=(n_obs, obs_dim), role_dims=(1, 1, 1), hidden_dims=(1, 1, 1),
+        number_of_objects=3,
+    )
+    m.update(y, iters=6)
+    e = np.asarray(m.ELBO_save, np.float64)
+    rel = np.diff(e) / np.abs(e[:-1])
+    # DMBD's ELBO is approximate (reference announces it); allow tiny wobble
+    assert (rel[1:] > -1e-3).all(), e
+    assert e[-1] > e[0]
