@@ -40,6 +40,28 @@ def _agg_if_no_backend(
         pass
 
 
+def _shard_like_batch(a, y):
+    """Give ``a`` the same batch-axis placement as the (possibly
+    mesh-sharded) data ``y``.
+
+    Both are laid out (T, batch, ...); when y carries a multi-device
+    NamedSharding (parallel/api.data_parallel_update), placing the
+    per-sample state with the leading portion of y's spec keeps it
+    device-resident — otherwise the compiled sweep all-gathers O(T*batch)
+    state while the suff-stat reductions are only O(params)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sh = getattr(y, "sharding", None)
+    if not isinstance(sh, NamedSharding) or sh.mesh.size <= 1:
+        return a
+    spec = tuple(sh.spec)[: a.ndim]
+    spec = spec + (None,) * (a.ndim - len(spec))
+    # only the leading (T, batch) axes are shared layout; replicate the rest
+    spec = spec[:2] + (None,) * (a.ndim - 2)
+    return jax.device_put(a, NamedSharding(sh.mesh, PartitionSpec(*spec)))
+
+
 def _block(A, B, C, D):
     return np.block([[A, B], [C, D]])
 
@@ -470,6 +492,13 @@ class DynamicMarkovBlanketDiscovery(LinearDynamicalSystems):
             p0 = jnp.ones(y.shape[:-2] + (self.role_dim,), y.dtype) / self.role_dim
         else:
             p0 = self.obs_model.p
+        # data-parallel path: the per-sample VB state (px, role posteriors)
+        # must carry y's batch sharding, or XLA all-gathers it every sweep —
+        # measured: one O(T*B) all-gather per compiled step vs the O(params)
+        # suff-stat all-reduces (tests/test_mesh_parallel.py asserts the
+        # collective footprint)
+        px_tuple = tuple(_shard_like_batch(a, y) for a in px_tuple)
+        p0 = _shard_like_batch(p0, y)
         carry, ELBOs = fn(
             self.x0,
             self.A,

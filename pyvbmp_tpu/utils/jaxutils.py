@@ -236,9 +236,17 @@ def brole_avg(M, p):
 
     K = p.shape[-1]
     if M.ndim == 3 and M.shape[0] == K:
-        rows = p.reshape((-1, K))
-        out = jnp.matmul(
-            rows, M.reshape((K, -1)), precision=mxu_precision()
+        # dot_general with the sample dims as LHS free dims — XLA flattens
+        # free dims onto the MXU rows itself, but unlike an explicit
+        # p.reshape((-1, K)) it PRESERVES any mesh sharding of the batch
+        # axis (the reshape merged the sharded dim and forced an O(T*B)
+        # all-gather into every data-parallel sweep; measured in
+        # tests/test_mesh_parallel.py's collective-footprint assertion)
+        out = jax.lax.dot_general(
+            p,
+            M.reshape((K, -1)),
+            dimension_numbers=(((p.ndim - 1,), (0,)), ((), ())),
+            precision=mxu_precision(),
         )
         return out.reshape(p.shape[:-1] + M.shape[-2:])
     return jnp.einsum(

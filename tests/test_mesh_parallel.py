@@ -139,3 +139,67 @@ def test_sharded_mixlds_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(a.ELBO_save), np.asarray(b.ELBO_save), rtol=2e-5
     )
+
+
+def test_dmbd_dp_collective_footprint_is_param_sized():
+    """Inspect the compiled HLO of the data-parallel DMBD sweep on the
+    8-virtual-device mesh: the ONLY collectives must be all-reduces whose
+    total operand size is O(natural params) — independent of the batch
+    size — making the 'suff-stat psum' claim (SURVEY §5.8) checkable
+    instead of assumed (VERDICT r4 item 7).  Also guards the round-5 fix
+    where brole_avg's row-flattening reshape forced an O(T*batch)
+    all-gather into every sweep."""
+    import re
+
+    from pyvbmp_tpu.models import DynamicMarkovBlanketDiscovery
+    from pyvbmp_tpu.models.dmbd import _shard_like_batch
+
+    def collective_elems(B):
+        rng.seed(3)
+        rs = np.random.RandomState(1)
+        y = jnp.asarray(rs.randn(10, B, 4, 2), jnp.float32)
+        m = DynamicMarkovBlanketDiscovery(
+            obs_shape=(4, 2), role_dims=(1, 1, 1), hidden_dims=(2, 1, 1)
+        )
+        mesh = make_mesh()
+        yv, uv, rv = m.reshape_inputs(y)
+        yv = shard_batch(mesh, yv, 1)
+        px0 = m._init_px(rv)
+        px_tuple = tuple(
+            _shard_like_batch(a, yv)
+            for a in (px0.mu, px0.Sigma, px0.invSigmamu, px0.invSigma)
+        )
+        p0 = _shard_like_batch(
+            jnp.ones(yv.shape[:-2] + (m.role_dim,), yv.dtype) / m.role_dim, yv
+        )
+        fn = jax.jit(m._dmbd_multi, static_argnames=("latent_iters", "iters"))
+        txt = fn.lower(
+            m.x0, m.A, m.obs_model.transition, m.obs_model.initial,
+            m.obs_model.obs_dist, px_tuple, p0, yv, uv, rv, 1.0, 1, 1,
+        ).compile().as_text()
+        out = {}
+        for kind in ("all-reduce", "all-gather", "reduce-scatter",
+                     "collective-permute", "all-to-all"):
+            shapes = re.findall(r"= ((?:\([^)]*\)|\S+)) %s\(" % kind, txt)
+            elems = 0
+            for s in shapes:
+                for st in re.findall(r"f32\[([0-9,]*)\]", s):
+                    n = 1
+                    for dd in st.split(","):
+                        if dd:
+                            n *= int(dd)
+                    elems += n
+            out[kind] = elems
+        return out
+
+    small = collective_elems(8)
+    big = collective_elems(64)
+    # suff-stat reductions exist and are identical at 8x the batch
+    assert small["all-reduce"] > 0
+    assert big["all-reduce"] == small["all-reduce"], (small, big)
+    # nothing data-sized crosses the mesh: no gathers/scatters at all, and
+    # the all-reduce total is well under one trajectory's element count
+    for kind in ("all-gather", "reduce-scatter", "collective-permute",
+                 "all-to-all"):
+        assert big[kind] == 0, (kind, big)
+    assert big["all-reduce"] < 10 * 64 * 8  # << T*B*obs elements

@@ -240,16 +240,18 @@ def test_driven_hmm_lane_form_equals_dense():
 # Flocking north star needs (h = K = 14); O(1) HLO ops per matmul means it
 # compiles quickly even at h=14, so the production config is checked here.
 
-@pytest.mark.parametrize(
-    "h",
-    [2, 5, pytest.param(14, marks=pytest.mark.slow)],
-)
+@pytest.mark.parametrize("h", [2, 5, 14])
 def test_kalman_plane_form_equals_dense(h):
+    """h=14 is the Flocking production shape (VERDICT r4 item 6: the TPU
+    fast path at the north-star shape must be verified in the DEFAULT
+    gate, not only behind a slow mark) — it runs at T=8/B=2 to keep the
+    compile bill small; numerics are shape-generic beyond that."""
     from pyvbmp_tpu.ops.parallel_kalman import parallel_kalman_smoother
 
     rng.seed(0)
     lds = LinearDynamicalSystems((3,), h, 0, 0, parallel_scan=True)
-    y = jax.random.normal(jax.random.key(2), (20, 5, 3))
+    T, B = (8, 2) if h > 8 else (20, 5)
+    y = jax.random.normal(jax.random.key(2), (T, B, 3))
     yv, uv, rv = lds.reshape_inputs(y)
     parms = lds._latent_parms(lds.A)
     like = lds.log_likelihood_function(lds.obs_model, yv, rv)
