@@ -43,14 +43,26 @@ def time_lds(h, o, T=200, b=100, iters=20):
     import jax
     import jax.numpy as jnp
     from pyvbmp_tpu.models import LinearDynamicalSystems
+    from pyvbmp_tpu.ops import chunked_scan as cs
     from pyvbmp_tpu.ops import parallel_kalman as pk
 
     data = np.asarray(
         jax.random.normal(jax.random.key(0), (T, b, o)), np.float32
     )
     out = {}
-    for layout, maxh in (("plane", 32), ("dense", 0)):
+    # round 5: fat rows (>= MIN_ROW_BYTES per time-row) route the dense
+    # layout through the 3-pass chunked scan instead of the ~2log2(T)-pass
+    # level scan; arm it explicitly both ways to measure the crossover
+    arms = (
+        ("plane", 32, 0),
+        ("dense_level", 0, 0),
+        ("dense_chunked", 0, 1),
+    )
+    for layout, maxh, fat in arms:
+        if layout == "plane" and h > 32:
+            continue  # plane compile is impractical past the gate
         pk.PLANE_KALMAN_MAX_H = maxh
+        cs.CHUNKED_SCAN_MIN_ROW_BYTES = 1 if fat else 0
         from pyvbmp_tpu.utils import rng
 
         rng.seed(0)
@@ -64,6 +76,9 @@ def time_lds(h, o, T=200, b=100, iters=20):
         print(f"lds h={h} o={o} {layout}: {out[layout]:.1f} it/s "
               f"({1e3 * dt / iters:.2f} ms/iter)", flush=True)
     pk.PLANE_KALMAN_MAX_H = int(os.environ.get("PYVBMP_PLANE_KALMAN_MAX_H", "32"))
+    cs.CHUNKED_SCAN_MIN_ROW_BYTES = int(
+        os.environ.get("PYVBMP_CHUNKED_SCAN_MIN_ROW_BYTES", str(512 * 1024))
+    )
     return out
 
 
@@ -100,6 +115,7 @@ def main():
     if which in ("lds", "all"):
         time_lds(16, 16)
         time_lds(32, 32)
+        time_lds(64, 64)
     if which in ("hmm", "all"):
         time_hmm(32)
         time_hmm(64, d=8)

@@ -47,6 +47,23 @@ import jax.numpy as jnp
 # wins: the long-context regime. 0 disables.
 CHUNKED_SCAN_MIN_T = int(os.environ.get("PYVBMP_CHUNKED_SCAN_MIN_T", "4096"))
 
+# Second, independent trigger: FAT element rows (large-h dense layout).
+# The level scan moves the whole element set through HBM ~2*log2(T) times;
+# the three-phase chunked scan moves it ~3 times.  For thin rows (lane
+# h=2: ~8 KB/row) per-level launch overhead dominates and the level scan
+# wins at moderate T (measurements above) — but once one time-row is
+# hundreds of KB the traffic term dominates and the ~(2 log2 T)/3 ratio is
+# the whole story.  This is the h>32 cliff of VERDICT r4 item 4: at h=32
+# the Pallas single-pass kernel is VMEM-infeasible (3h^2 floats/row at the
+# 128-lane minimum tile blows the budget, ops/pallas_scan._plan -> None),
+# so dense fell back to the level scan at 86.7 ms/iter.  Rows at least
+# this many bytes (at T >= 32, where log2 T >= 5 gives a >=3x traffic
+# ratio) route through the chunked scan instead.  Provisional default
+# pending a chip A/B (benchmarks/layout_ab_large_dims.py); 0 disables.
+CHUNKED_SCAN_MIN_ROW_BYTES = int(
+    os.environ.get("PYVBMP_CHUNKED_SCAN_MIN_ROW_BYTES", str(512 * 1024))
+)
+
 
 def _choose_chunk(T):
     """Chunk length ~sqrt(T) clamped to [8, 64]: balances the sequential
@@ -183,6 +200,12 @@ def auto_scan(combine, elems, reverse=False):
         return ps.pallas_chunked_scan(combine, elems, reverse=reverse)
     if CHUNKED_SCAN_MIN_T > 0 and T >= CHUNKED_SCAN_MIN_T:
         return chunked_scan(combine, elems, reverse=reverse)
+    if CHUNKED_SCAN_MIN_ROW_BYTES > 0 and T >= 32:
+        row_bytes = sum(
+            l[0].nbytes for l in jax.tree_util.tree_leaves(elems)
+        )
+        if row_bytes >= CHUNKED_SCAN_MIN_ROW_BYTES:
+            return chunked_scan(combine, elems, reverse=reverse)
     return jax.lax.associative_scan(combine, elems, axis=0, reverse=reverse)
 
 
@@ -194,6 +217,7 @@ def scan_dispatch_state():
 
     return (
         CHUNKED_SCAN_MIN_T,
+        CHUNKED_SCAN_MIN_ROW_BYTES,
         CHUNK_UNROLL,
         os.environ.get("PYVBMP_CHUNK_LEN", "0"),
         ps.PALLAS_SCAN,

@@ -610,6 +610,20 @@ def pallas_chunked_scan(combine, elems, reverse=False, interpret=None):
     )
     plan = _plan(T, N, row_bytes)
     if plan is None:
+        # VMEM-infeasible rows (e.g. plane h=32 at the 128-lane minimum
+        # tile): fall back through the chunked/level dispatch rather than
+        # straight to the level scan — fat rows are exactly where the
+        # 3-pass chunked scan beats ~2log2(T) level passes (VERDICT r4
+        # item 4)
+        from .chunked_scan import CHUNKED_SCAN_MIN_ROW_BYTES, chunked_scan
+
+        fat = (
+            CHUNKED_SCAN_MIN_ROW_BYTES > 0
+            and T >= 32
+            and row_bytes >= CHUNKED_SCAN_MIN_ROW_BYTES
+        )
+        if fat:
+            return chunked_scan(combine, elems, reverse=reverse)
         return jax.lax.associative_scan(combine, elems, axis=0,
                                         reverse=reverse)
     L, n_tile = plan
