@@ -54,6 +54,10 @@ def get_task(name):
 
 def main(task="synthetic"):
     import jax
+
+    from pyvbmp_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()  # first run pays compiles once, then cached
     import jax.numpy as jnp
     from pyvbmp_tpu.transforms import (
         MultiNomialLogisticRegression,

@@ -51,55 +51,102 @@ class dMixtureofLinearTransforms:
         self.logZ = None
         self.NA = None
 
+    def _vb_step_raw(self, nodes, X, AX, AY, p, lr):
+        """One VB sweep as a pure function of (A, pi.beta) (reference
+        dMixtureofLinearTransforms.raw_update:37-56 body).  The ELBO is
+        tracked unconditionally (the reference only computes it under
+        verbose; the value bookkeeping is identical)."""
+        A, pibeta = nodes
+        pi = self.pi.with_beta(pibeta)
+        log_p = A.Elog_like(AX, AY) + pi.log_predict(X)
+        shift = jax.lax.stop_gradient(log_p.max(-1, keepdims=True))
+        log_p = log_p - shift
+        p_ass = jnp.exp(log_p)
+        p_ass = p_ass / p_ass.sum(-1, keepdims=True)
+        logZ = (shift[..., 0] + jax.scipy.special.logsumexp(log_p, -1)).sum(0)
+        KL = A.KLqprior().sum(-1) + pi.KLqprior()
+        ELBO = jnp.sum(logZ - KL)
+        pibeta = pi.raw_update_beta(pibeta, X, p_ass, p=p, lr=lr)
+        if p is None:
+            A = A.raw_update(AX, AY, p=p_ass, lr=lr)
+        else:
+            A = A.raw_update(AX, AY, p=p_ass * p[..., None], lr=lr)
+        return (A, pibeta), (ELBO, p_ass)
+
     def raw_update(self, X, Y, p=None, iters=1, lr=1.0, verbose=False):
+        from ._fused import fused_fit
+
         AX = X[..., None][..., None, :, :]  # sample x batch x 1 x p x 1
         AY = Y[..., None][..., None, :, :]
-        for _ in range(iters):
-            log_p = self.A.Elog_like(AX, AY) + self.pi.log_predict(X)
-            shift = jax.lax.stop_gradient(log_p.max(-1, keepdims=True))
-            log_p = log_p - shift
-            p_ass = jnp.exp(log_p)
-            p_ass = p_ass / p_ass.sum(-1, keepdims=True)
+        (self.A, pibeta), (self.p,), ELBOs = fused_fit(
+            self, self._vb_step_raw, (self.A, self.pi.beta), int(iters),
+            X, AX, AY, p, lr=lr,
+        )
+        self.pi.beta = pibeta
+        import numpy as np
+
+        for e in np.asarray(ELBOs, np.float64):
             if verbose:
-                logZ = (shift[..., 0] + jax.scipy.special.logsumexp(log_p, -1)).sum(0)
-                ELBO = logZ - self.KLqprior()
                 print(
                     "dMixture Percent Change in ELBO = ",
-                    (ELBO - self.ELBO_last) / jnp.abs(self.ELBO_last) * 100,
+                    (e - self.ELBO_last) / abs(self.ELBO_last) * 100,
                 )
-                self.ELBO_last = ELBO
-            self.pi.raw_update(X, p_ass, p=p, lr=lr)
-            if p is None:
-                self.A = self.A.raw_update(AX, AY, p=p_ass, lr=lr)
-            else:
-                self.A = self.A.raw_update(AX, AY, p=p_ass * p[..., None], lr=lr)
-        self.p = p_ass
+                self.ELBO_last = float(e)
+            self.ELBO_save.append(float(e))
+
+    def with_nodes(self, A, pibeta):
+        """Shallow copy carrying different (A, pi.beta) posteriors — lets
+        fused fits of CONSUMERS (the Bayesian transformers) thread this
+        mixture's state through a lax.scan."""
+        import copy
+
+        c = copy.copy(self)
+        c.A = A
+        c.pi = self.pi.with_beta(pibeta)
+        return c
+
+    def _vb_step_msg(self, nodes, pX, pY, pAX, pAY, p, lr):
+        """One message-valued VB sweep as a pure function of (A, pi.beta).
+        NOTE the reference computes this path's ELBO AFTER the M-step
+        (post-update KL) — preserved."""
+        A, pibeta = nodes
+        pi = self.pi.with_beta(pibeta)
+        log_p = A.Elog_like_given_pX_pY(pAX, pAY) + pi.log_forward(pX)
+        shift = jax.lax.stop_gradient(log_p.max(-1, keepdims=True))
+        log_p = log_p - shift
+        logZ = shift[..., 0] + jax.scipy.special.logsumexp(log_p, -1)
+        p_ass = jnp.exp(log_p)
+        p_ass = p_ass / p_ass.sum(-1, keepdims=True)
+        NA = p_ass.sum(0)
+        pibeta = pi.update_beta(pibeta, pX, p_ass, p=p, lr=lr)
+        if p is None:
+            A = A.update(pAX, pAY, p=p_ass, lr=lr)
+        else:
+            A = A.update(pAX, pAY, p=p_ass * p[..., None], lr=lr)
+        KL = A.KLqprior().sum(-1) + self.pi.with_beta(pibeta).KLqprior()
+        ELBO = logZ.sum() - KL.sum()
+        return (A, pibeta), (ELBO, logZ, p_ass, NA)
 
     def update(self, pX, pY, p=None, iters=1, lr=1.0, verbose=False):
+        from ._fused import fused_fit
+
         pAX = pX.unsqueeze(-3)
         pAY = pY.unsqueeze(-3)
-        for _ in range(iters):
-            log_p = self.A.Elog_like_given_pX_pY(pAX, pAY) + self.pi.log_forward(pX)
-            shift = jax.lax.stop_gradient(log_p.max(-1, keepdims=True))
-            log_p = log_p - shift
-            self.logZ = shift[..., 0] + jax.scipy.special.logsumexp(log_p, -1)
-            p_ass = jnp.exp(log_p)
-            p_ass = p_ass / p_ass.sum(-1, keepdims=True)
-            self.NA = p_ass.sum(0)
-            self.pi.update(pX, p_ass, p=p, lr=lr)
-            if p is None:
-                self.A = self.A.update(pAX, pAY, p=p_ass, lr=lr)
-            else:
-                self.A = self.A.update(pAX, pAY, p=p_ass * p[..., None], lr=lr)
-            ELBO = self.logZ.sum() - self.KLqprior().sum()
+        (self.A, pibeta), (self.logZ, self.p, self.NA), ELBOs = fused_fit(
+            self, self._vb_step_msg, (self.A, self.pi.beta), int(iters),
+            pX, pY, pAX, pAY, p, lr=lr,
+        )
+        self.pi.beta = pibeta
+        import numpy as np
+
+        for e in np.asarray(ELBOs, np.float64):
             if verbose:
                 print(
                     "dMixLT Percent Change in ELBO: ",
-                    (ELBO - self.ELBO_last) / jnp.abs(self.ELBO_last),
+                    (e - self.ELBO_last) / abs(self.ELBO_last),
                 )
-            self.ELBO_last = ELBO
-            self.ELBO_save.append(float(ELBO))
-        self.p = p_ass
+            self.ELBO_last = float(e)
+            self.ELBO_save.append(float(e))
 
     def predict(self, X):
         p = self.pi.predict(X)

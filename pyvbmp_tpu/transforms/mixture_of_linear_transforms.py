@@ -57,21 +57,24 @@ class MixtureofLinearTransforms:
     def update_assignments_given_pX_pY(self, pX, pY):
         self.p, self.logZ = self._assign(self.W, self.pi, pX, pY, via_messages=True)
 
+    def _vb_step(self, nodes, X, Y, lr):
+        """One VB sweep as a pure function of (W, pi) (reference
+        MixtureofLinearTransforms.raw_update:50-61 body)."""
+        W, pi = nodes
+        p, logZ = self._assign(W, pi, X, Y)
+        KL = pi.KLqprior() + W.KLqprior().sum(-1)
+        ELBO = jnp.sum(sum_leading(logZ, self.batch_dim) - KL)
+        pi = pi.ss_update(sum_leading(p, self.batch_dim + 1), lr=lr)
+        W = W.raw_update(X[..., None, :, :], Y[..., None, :, :], p=p, lr=lr)
+        return (W, pi), (ELBO, logZ, p)
+
     def raw_update(self, X, Y, iters=1, lr=1.0, verbose=False):
-        for _ in range(iters):
-            self.update_assignments(X, Y)
-            ELBO = self.ELBO()
-            self.pi = self.pi.ss_update(sum_leading(self.p, self.batch_dim + 1), lr=lr)
-            self.W = self.W.raw_update(
-                X[..., None, :, :], Y[..., None, :, :], p=self.p, lr=lr
-            )
-            if verbose:
-                print(
-                    "MixLinearTransform: Percent Change in ELBO = ",
-                    (ELBO - self.ELBO_last) / jnp.abs(self.ELBO_last) * 100,
-                )
-            self.ELBO_last = ELBO
-            self.ELBO_save.append(float(jnp.sum(ELBO)))
+        from ._fused import fused_fit, record_elbos
+
+        (self.W, self.pi), (self.logZ, self.p), ELBOs = fused_fit(
+            self, self._vb_step, (self.W, self.pi), int(iters), X, Y, lr=lr
+        )
+        record_elbos(self, ELBOs, verbose)
 
     def update(self, pX, pY, iters=1, lr=1.0, verbose=False):
         for _ in range(iters):

@@ -99,12 +99,24 @@ class MultiNomialLogisticRegression:
             SEyx = (YmN * EX * p[..., None, None, None]).sum(sdims)
         return pgb, YmN, EX, EXXT, SEyx, sdims
 
+    def with_beta(self, beta_node):
+        """Shallow copy carrying a different beta posterior — lets fused
+        multi-sweep fits thread the MNLR state through a lax.scan while
+        reusing every (config-static) method."""
+        import copy
+
+        c = copy.copy(self)
+        c.beta = beta_node
+        return c
+
     @highest_precision
-    def raw_update(self, X, Y, iters=2, p=None, lr=1.0, beta=None, verbose=False):
-        if p is None and self.batch_dim == 0 and X.ndim == 2:
-            return self._raw_update_fast(X, Y, iters=iters, lr=lr, beta=beta)
+    def raw_update_beta(self, beta_node, X, Y, iters=2, p=None, lr=1.0,
+                        beta=None):
+        """Pure PG-bound update of a beta node (functional core of
+        raw_update; used directly by fused multi-sweep fits that carry the
+        MNLR state through a lax.scan)."""
         pgb, YmN, EX, EXXT, SEyx, sdims = self._raw_stats(X, Y, p)
-        new_beta = self.beta
+        new_beta = beta_node
         for _ in range(iters):
             pgc = jnp.sqrt((new_beta.EXXT() * EXXT).sum((-1, -2)))
             Ew = (pgb / 2.0 / pgc * jnp.tanh(pgc / 2.0))[..., None, None]
@@ -113,7 +125,14 @@ class MultiNomialLogisticRegression:
             else:
                 SExx = (Ew * EXXT * p[..., None, None, None]).sum(sdims)
             new_beta = new_beta.ss_update(SExx, SEyx, lr=lr, beta=beta)
-        self.beta = new_beta
+        return new_beta
+
+    def raw_update(self, X, Y, iters=2, p=None, lr=1.0, beta=None, verbose=False):
+        if p is None and self.batch_dim == 0 and X.ndim == 2:
+            return self._raw_update_fast(X, Y, iters=iters, lr=lr, beta=beta)
+        self.beta = self.raw_update_beta(
+            self.beta, X, Y, iters=iters, p=p, lr=lr, beta=beta
+        )
 
     @highest_precision
     def _raw_update_fast(self, X, Y, iters=2, lr=1.0, beta=None):
@@ -143,8 +162,10 @@ class MultiNomialLogisticRegression:
         self.beta = new_beta
 
     @highest_precision
-    def update(self, pX, pY, iters=2, p=None, lr=1.0, beta=None, verbose=False):
-        """Message-valued X update (reference MNLR.update:82-118)."""
+    def update_beta(self, beta_node, pX, pY, iters=2, p=None, lr=1.0,
+                    beta=None):
+        """Pure message-valued update of a beta node (functional core of
+        update; used by fused multi-sweep fits)."""
         pgb, YmN = _stick_breaking_stats(pY)
         YmN = YmN[..., None, None]
         EX, EXXT = self._padded_moments(pX)
@@ -153,7 +174,7 @@ class MultiNomialLogisticRegression:
             SEyx = (YmN * EX).sum(0)
         else:
             SEyx = (YmN * EX * p[..., None, None, None]).sum(sdims)
-        new_beta = self.beta
+        new_beta = beta_node
         for _ in range(iters):
             pgc = jnp.sqrt((new_beta.EXXT() * EXXT).sum((-1, -2)))
             Ew = (pgb / 2.0 / pgc * jnp.tanh(pgc / 2.0))[..., None, None]
@@ -162,7 +183,13 @@ class MultiNomialLogisticRegression:
             else:
                 SExx = (Ew * EXXT * p[..., None, None, None]).sum(sdims)
             new_beta = new_beta.ss_update(SExx, SEyx, lr=lr, beta=beta)
-        self.beta = new_beta
+        return new_beta
+
+    def update(self, pX, pY, iters=2, p=None, lr=1.0, beta=None, verbose=False):
+        """Message-valued X update (reference MNLR.update:82-118)."""
+        self.beta = self.update_beta(
+            self.beta, pX, pY, iters=iters, p=p, lr=lr, beta=beta
+        )
 
     # -- likelihoods ---------------------------------------------------------------
     @highest_precision

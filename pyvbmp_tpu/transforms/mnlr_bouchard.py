@@ -3,6 +3,7 @@ per-sample alpha plus lambda(xi) quadratic weights
 (reference transforms/MultiNomialLogisticRegression_Bouchard.py)."""
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .mnlr import highest_precision
@@ -50,8 +51,26 @@ class MultiNomialLogisticRegression_Bouchard:
             return jnp.concatenate([X, jnp.ones(X.shape[:-1] + (1,), X.dtype)], -1)
         return X
 
-    @highest_precision
     def raw_update(self, X, Y, iters=4, p=None, lr=1.0, beta=None, verbose=False):
+        """Jitted via a per-instance memo: the body is one big traced
+        region (alpha/xi fixed point over a (S, n, p, p) tensor) that was
+        paying eager per-op dispatch on every call."""
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        key = ("raw", int(iters), p is None, beta is None)
+        if key not in cache:
+            it = int(iters)
+
+            def core(beta_node, X, Y, p, lr, beta_decay):
+                return self.raw_update_beta(
+                    beta_node, X, Y, iters=it, p=p, lr=lr, beta=beta_decay
+                )
+
+            cache[key] = jax.jit(core)
+        self.beta = cache[key](self.beta, X, Y, p, lr, beta)
+
+    @highest_precision
+    def raw_update_beta(self, beta_node, X, Y, iters=4, p=None, lr=1.0,
+                        beta=None):
         sdims = tuple(range(X.ndim - 1 - self.batch_dim))
         EX = self._padded(X)
         EX = EX[..., None, :, None]
@@ -66,12 +85,12 @@ class MultiNomialLogisticRegression_Bouchard:
 
         alpha = jnp.full((1, 1, 1), (self.n - 2) / 4.0)
         xi = (
-            (self.beta.EXXT() * EXXT).sum((-2, -1), keepdims=True)
-            - 2.0 * alpha * (self.beta.EX() * EX).sum((-2, -1), keepdims=True)
+            (beta_node.EXXT() * EXXT).sum((-2, -1), keepdims=True)
+            - 2.0 * alpha * (beta_node.EX() * EX).sum((-2, -1), keepdims=True)
             + alpha**2
         )
         xi = jnp.sqrt(xi)
-        new_beta = self.beta
+        new_beta = beta_node
         for _ in range(iters):
             alpha = (
                 (self.n - 2) / 4.0
@@ -94,7 +113,7 @@ class MultiNomialLogisticRegression_Bouchard:
                     alpha * N * lmbda(xi) * EX * p[..., None, None, None]
                 ).sum(sdims)
             new_beta = new_beta.ss_update(SExx, SEyx + SEyx_star, lr=lr, beta=beta)
-        self.beta = new_beta
+        return new_beta
 
     @highest_precision
     def update(self, pX, Y, iters=1, p=None, lr=1.0, beta=None, verbose=False):

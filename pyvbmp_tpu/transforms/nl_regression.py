@@ -5,6 +5,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ._fused import fused_fit as _fused_fit, record_elbos as _record_elbos
 from ..dists import Dirichlet, NormalGamma, NormalInverseWishart
 from ..dists.mvn_vector_format import MultivariateNormal_vector_format as MVN_vf
 from ..utils.linalg import mT, psd_inv, psd_logdet
@@ -39,35 +40,34 @@ class NLRegression_full_rank:
         self.ELBO_last = -jnp.inf
         self.ELBO_save = []
 
+    def _vb_step(self, nodes, X, Xv, Yv, lr):
+        """One VB sweep as a pure function of the node pytree (reference
+        NLRegression_full_rank.raw_update:30-52 body)."""
+        A, Xn, pi = nodes
+        log_p = A.Elog_like(Xv, Yv) + Xn.Elog_like(X) + pi.loggeomean()
+        logZ = jax.scipy.special.logsumexp(log_p, -1, keepdims=True)
+        log_p = log_p - log_p.max(-1, keepdims=True)
+        p = jnp.exp(log_p)
+        p = p / p.sum(-1, keepdims=True)
+        NA = p.sum(0)
+        KL = A.KLqprior().sum(-1) + Xn.KLqprior().sum(-1) + pi.KLqprior()
+        ELBO = jnp.sum(logZ.sum(0) - KL)
+        pi = pi.ss_update(NA, lr)
+        A = A.raw_update(Xv, Yv, p=p, lr=lr)
+        Xn = Xn.raw_update(X, p=p, lr=lr)
+        return (A, Xn, pi), (ELBO, logZ, p, NA)
+
     def raw_update(self, X, Y, iters=1, lr=1.0, verbose=False):
         for _ in range(self.batch_dim + 1):
             X = X[..., None, :]
             Y = Y[..., None, :]
         Xv = X[..., None]
         Yv = Y[..., None]
-        for _ in range(int(iters)):
-            log_p = (
-                self.A.Elog_like(Xv, Yv)
-                + self.X.Elog_like(X)
-                + self.pi.loggeomean()
-            )
-            self.logZ = jax.scipy.special.logsumexp(log_p, -1, keepdims=True)
-            log_p = log_p - log_p.max(-1, keepdims=True)
-            p = jnp.exp(log_p)
-            p = p / p.sum(-1, keepdims=True)
-            self.p = p
-            self.NA = p.sum(0)
-            ELBO = self.ELBO().sum()
-            if verbose:
-                print(
-                    "Percent Change in ELBO = ",
-                    (ELBO - self.ELBO_last) / jnp.abs(self.ELBO_last) * 100,
-                )
-            self.ELBO_last = ELBO
-            self.ELBO_save.append(float(ELBO))
-            self.pi = self.pi.ss_update(self.NA, lr)
-            self.A = self.A.raw_update(Xv, Yv, p=p, lr=lr)
-            self.X = self.X.raw_update(X, p=p, lr=lr)
+        (self.A, self.X, self.pi), (self.logZ, self.p, self.NA), ELBOs = (
+            _fused_fit(self, self._vb_step, (self.A, self.X, self.pi),
+                       int(iters), X, Xv, Yv, lr=lr)
+        )
+        _record_elbos(self, ELBOs, verbose)
 
     def predict(self, X):
         log_p = self.X.Elog_like(X[..., None, :]) + self.pi.loggeomean()
@@ -126,93 +126,100 @@ class NLRegression_low_rank:
         self.ELBO_last = -jnp.inf
         self.ELBO_save = []
 
+    def _vb_step(self, nodes, Xv, Yv, SExx, lr):
+        """One VB sweep as a pure function of the node pytree (reference
+        NLRegression_low_rank.raw_update:41-103 body)."""
+        A, W, U, pi = nodes
+        AXT = A.EXTinvUX()
+        AXU = A.EXTinvU()
+        invSigma_u_u = U.EinvSigma() + AXT[..., :-1, :-1] + W.EXTinvUX()
+        invSigmamu_u = (
+            U.EinvSigmamu()[..., None]
+            + AXU[..., :-1, :] @ Yv
+            - AXT[..., :-1, -1:]
+            + W.EXTinvU() @ Xv
+        )
+        Sigma_u_u = psd_inv(invSigma_u_u)
+        mu_u = Sigma_u_u @ invSigmamu_u
+
+        logZ = (
+            -0.5 * mT(Yv) @ A.EinvSigma() @ Yv
+            - 0.5 * mT(Xv) @ W.EinvSigma() @ Xv
+            - 0.5 * AXT[..., -1:, -1:]
+            + AXU[..., -1:, :] @ Yv
+            + 0.5 * mT(mu_u) @ invSigma_u_u @ mu_u
+        )
+        logZ = (
+            logZ[..., 0, 0]
+            + 0.5 * A.ElogdetinvSigma()
+            + 0.5 * U.ElogdetinvSigma()
+            + 0.5 * W.ElogdetinvSigma()
+            - 0.5 * psd_logdet(invSigma_u_u)
+            - 0.5 * U.EXTinvUX()
+        )
+        log_p = logZ + pi.loggeomean()
+        shift = log_p.max(-1, keepdims=True)
+        logZt = (
+            jax.scipy.special.logsumexp(log_p - shift, -1, keepdims=True) + shift
+        )[..., 0]
+        p = jnp.exp(log_p - shift)
+        p = p / p.sum(-1, keepdims=True)
+
+        SEuu = Sigma_u_u + mu_u @ mT(mu_u)
+        SEux = mu_u @ mT(Xv)
+        SEu1u1 = jnp.concatenate([SEuu, mu_u], -1)
+        mu_u1 = jnp.concatenate(
+            [mu_u, jnp.ones(mu_u.shape[:-2] + (1, 1), mu_u.dtype)], -2
+        )
+        SEu1u1 = jnp.concatenate([SEu1u1, mT(mu_u1)], -2)
+        SEyy = Yv @ mT(Yv)
+        SEyu1 = Yv @ mT(mu_u1)
+
+        NA = p.sum(0)
+        pv = p[..., None, None]
+        SEu = (mu_u * pv).sum(0)
+        SEuu = (SEuu * pv).sum(0)
+        SEux = (SEux * pv).sum(0)
+        SEu1u1 = (SEu1u1 * pv).sum(0)
+        SEyy = (SEyy * pv).sum(0)
+        SEyu1 = (SEyu1 * pv).sum(0)
+
+        KL = (
+            A.KLqprior().sum(-1)
+            + W.KLqprior().sum(-1)
+            + U.KLqprior().sum(-1)
+            + pi.KLqprior()
+        )
+        ELBO = jnp.sum(logZt.sum(0) - KL)
+        pi = pi.ss_update(NA, lr)
+        A = A.ss_update(SEu1u1, SEyu1, SEyy, NA, lr)
+        W = W.ss_update(
+            SEuu.sum(-3, keepdims=True),
+            mT(SEux.sum(-3, keepdims=True)),
+            SExx,
+            NA.sum(-1, keepdims=True),
+            lr,
+        )
+        U = U.ss_update(
+            jnp.diagonal(SEuu, axis1=-1, axis2=-2), SEu[..., 0], NA, lr
+        )
+        return (A, W, U, pi), (ELBO, logZt, p, NA)
+
     def raw_update(self, X, Y, iters=1, lr=1.0, verbose=False):
         for _ in range(self.batch_dim + 1):
             X = X[..., None, :]
             Y = Y[..., None, :]
         Xv = X[..., None]
         Yv = Y[..., None]
-        h = self.hidden_dim
         if self.independent:
             SExx = (Xv**2).sum(0)[..., 0]
         else:
             SExx = (Xv @ mT(Xv)).sum(0)
-        for _ in range(int(iters)):
-            AXT = self.A.EXTinvUX()
-            AXU = self.A.EXTinvU()
-            invSigma_u_u = self.U.EinvSigma() + AXT[..., :-1, :-1] + self.W.EXTinvUX()
-            invSigmamu_u = (
-                self.U.EinvSigmamu()[..., None]
-                + AXU[..., :-1, :] @ Yv
-                - AXT[..., :-1, -1:]
-                + self.W.EXTinvU() @ Xv
-            )
-            Sigma_u_u = psd_inv(invSigma_u_u)
-            mu_u = Sigma_u_u @ invSigmamu_u
-
-            logZ = (
-                -0.5 * mT(Yv) @ self.A.EinvSigma() @ Yv
-                - 0.5 * mT(Xv) @ self.W.EinvSigma() @ Xv
-                - 0.5 * AXT[..., -1:, -1:]
-                + AXU[..., -1:, :] @ Yv
-                + 0.5 * mT(mu_u) @ invSigma_u_u @ mu_u
-            )
-            logZ = (
-                logZ[..., 0, 0]
-                + 0.5 * self.A.ElogdetinvSigma()
-                + 0.5 * self.U.ElogdetinvSigma()
-                + 0.5 * self.W.ElogdetinvSigma()
-                - 0.5 * psd_logdet(invSigma_u_u)
-                - 0.5 * self.U.EXTinvUX()
-            )
-            log_p = logZ + self.pi.loggeomean()
-            shift = log_p.max(-1, keepdims=True)
-            self.logZ = (
-                jax.scipy.special.logsumexp(log_p - shift, -1, keepdims=True) + shift
-            )[..., 0]
-            p = jnp.exp(log_p - shift)
-            p = p / p.sum(-1, keepdims=True)
-            self.p = p
-
-            SEuu = Sigma_u_u + mu_u @ mT(mu_u)
-            SEux = mu_u @ mT(Xv)
-            SEu1u1 = jnp.concatenate([SEuu, mu_u], -1)
-            mu_u1 = jnp.concatenate(
-                [mu_u, jnp.ones(mu_u.shape[:-2] + (1, 1), mu_u.dtype)], -2
-            )
-            SEu1u1 = jnp.concatenate([SEu1u1, mT(mu_u1)], -2)
-            SEyy = Yv @ mT(Yv)
-            SEyu1 = Yv @ mT(mu_u1)
-
-            self.NA = p.sum(0)
-            pv = p[..., None, None]
-            SEu = (mu_u * pv).sum(0)
-            SEuu = (SEuu * pv).sum(0)
-            SEux = (SEux * pv).sum(0)
-            SEu1u1 = (SEu1u1 * pv).sum(0)
-            SEyy = (SEyy * pv).sum(0)
-            SEyu1 = (SEyu1 * pv).sum(0)
-
-            ELBO = self.ELBO().sum()
-            if verbose:
-                print(
-                    "Percent Change in ELBO = ",
-                    (ELBO - self.ELBO_last) / jnp.abs(self.ELBO_last) * 100,
-                )
-            self.ELBO_last = ELBO
-            self.ELBO_save.append(float(ELBO))
-            self.pi = self.pi.ss_update(self.NA, lr)
-            self.A = self.A.ss_update(SEu1u1, SEyu1, SEyy, self.NA, lr)
-            self.W = self.W.ss_update(
-                SEuu.sum(-3, keepdims=True),
-                mT(SEux.sum(-3, keepdims=True)),
-                SExx,
-                self.NA.sum(-1, keepdims=True),
-                lr,
-            )
-            self.U = self.U.ss_update(
-                jnp.diagonal(SEuu, axis1=-1, axis2=-2), SEu[..., 0], self.NA, lr
-            )
+        (self.A, self.W, self.U, self.pi), (self.logZ, self.p, self.NA), ELBOs = (
+            _fused_fit(self, self._vb_step, (self.A, self.W, self.U, self.pi),
+                       int(iters), Xv, Yv, SExx, lr=lr)
+        )
+        _record_elbos(self, ELBOs, verbose)
 
     def predict(self, X):
         for _ in range(self.batch_dim + 1):
@@ -289,29 +296,34 @@ class NLRegression_Multinomial:
             mixture_dim, p, batch_shape=tuple(batch_shape), pad_X=True, key=jr.fold_in(key, 1)
         )
 
+    def _vb_step(self, nodes, X, AX, AY, lr):
+        """One VB sweep as a pure function of (A, Z.beta) (reference
+        NLRegression_Multinomial.raw_update:25-45 body)."""
+        A, zbeta = nodes
+        Z = self.Z.with_beta(zbeta)
+        log_p = A.Elog_like(AX, AY) + Z.log_predict(X)
+        shift = log_p.max(-1, keepdims=True)
+        logZ = shift[..., 0] + jax.scipy.special.logsumexp(log_p - shift, -1)
+        p = jnp.exp(log_p - shift)
+        p = p / p.sum(-1, keepdims=True)
+        NA = p.sum(0)
+        ELBO = logZ.sum() - (A.KLqprior().sum(-1) + Z.KLqprior())
+        ELBO = jnp.sum(ELBO)
+        A = A.raw_update(AX, AY, p=p, lr=lr)
+        zbeta = Z.raw_update_beta(zbeta, X, p, lr=lr)
+        return (A, zbeta), (ELBO, logZ, p, NA)
+
     def raw_update(self, X, Y, iters=1, lr=1.0, verbose=False):
         AX = X[..., None]
         AY = Y[..., None]
         AX = AX.reshape(AX.shape[:-2] + (self.batch_dim + 1) * (1,) + AX.shape[-2:])
         AY = AY.reshape(AY.shape[:-2] + (self.batch_dim + 1) * (1,) + AY.shape[-2:])
-        for _ in range(int(iters)):
-            log_p = self.A.Elog_like(AX, AY) + self.Z.log_predict(X)
-            shift = log_p.max(-1, keepdims=True)
-            self.logZ = shift[..., 0] + jax.scipy.special.logsumexp(log_p - shift, -1)
-            p = jnp.exp(log_p - shift)
-            p = p / p.sum(-1, keepdims=True)
-            self.p = p
-            self.NA = p.sum(0)
-            ELBO = self.logZ.sum() - self.KLqprior()
-            if verbose:
-                print(
-                    "Percent Change in ELBO = ",
-                    (ELBO - self.ELBO_last) / jnp.abs(self.ELBO_last) * 100,
-                )
-            self.ELBO_last = ELBO
-            self.ELBO_save.append(float(jnp.sum(ELBO)))
-            self.A = self.A.raw_update(AX, AY, p=p, lr=lr)
-            self.Z.raw_update(X, p, lr=lr)
+        (self.A, zbeta), (self.logZ, self.p, self.NA), ELBOs = _fused_fit(
+            self, self._vb_step, (self.A, self.Z.beta), int(iters), X, AX, AY,
+            lr=lr,
+        )
+        self.Z.beta = zbeta
+        _record_elbos(self, ELBOs, verbose)
 
     def predict(self, X):
         p = self.Z.predict(X)
@@ -379,6 +391,107 @@ class NLRegression_orig:
 
         self.U = replace(self.U, invU=self.W.invU)
 
+    def _vb_step(self, nodes, Xv, Yv, SExx, lr):
+        """One VB sweep as a pure function of (W, A, U, pi) (reference
+        NLRegression_orig.py:21-106 body; the shared q(Sigma_uu) re-bind
+        happens inside the step)."""
+        from ..utils.jaxutils import replace
+
+        W, A, U, pi = nodes
+        U = replace(U, invU=W.invU)  # the reference aliases the objects
+        AXT = A.EXTinvUX()
+        AXU = A.EXTinvU()
+        invSigma_u_u = W.EinvSigma() + AXT[..., :-1, :-1]
+        invSigmamu_u = (
+            U.EinvSigmamu()[..., None]
+            + W.EinvUX() @ Xv
+            + AXU[..., :-1, :] @ Yv
+            - AXT[..., :-1, -1:]
+        )
+        Sigma_u_u = psd_inv(invSigma_u_u)
+        mu_u = Sigma_u_u @ invSigmamu_u
+
+        Res = (
+            -0.5 * mT(Yv) @ A.EinvSigma() @ Yv
+            - 0.5 * AXT[..., -1:, -1:]
+            + AXU[..., -1:, :] @ Yv
+        )
+        Res = (
+            Res
+            - 0.5 * mT(Xv) @ W.EXTinvUX() @ Xv
+            - U.mean()[..., None, :] @ W.EinvUX() @ Xv
+            + 0.5 * mT(mu_u) @ invSigmamu_u
+        )
+        Res = (
+            Res[..., 0, 0]
+            + 0.5 * A.ElogdetinvSigma()
+            + 0.5 * W.ElogdetinvSigma()
+            - 0.5 * psd_logdet(invSigma_u_u)
+            - 0.5 * U.EXTinvUX()
+            - 0.5 * self.n * jnp.log(2 * jnp.pi)
+        )
+        log_p = Res + pi.loggeomean()
+        shift = log_p.max(-1, keepdims=True)
+        logZk = (
+            jax.scipy.special.logsumexp(log_p - shift, -1, keepdims=True) + shift
+        )
+        log_p = log_p - logZk
+        pr = jnp.exp(log_p)
+        logZ = logZk[..., 0].sum(0)
+        NA = pr.sum(0)
+
+        # U.KLqprior includes the shared invU KL (broadcast over mixture);
+        # the reference subtracts it once "because invU is shared with W"
+        # (NLRegression_orig.py:139-141)
+        KL = (
+            A.KLqprior().sum(-1)
+            + W.KLqprior().sum(-1)
+            + U.KLqprior().sum(-1)
+            + pi.KLqprior()
+            - U.invU.KLqprior().sum(-1)
+        )
+        ELBO = jnp.sum(logZ.sum() - KL)
+
+        pi = pi.ss_update(NA, lr)
+
+        pv = pr[..., None, None]
+        NAv = NA[..., None, None]
+        SEuu = ((Sigma_u_u + mu_u @ mT(mu_u)) * pv).sum(0)
+        SEu = (mu_u * pv).sum(0)
+        SEu1u1 = jnp.concatenate([SEuu, SEu], -1)
+        SEu1 = jnp.concatenate([SEu, NAv], -2)
+        SEu1u1 = jnp.concatenate([SEu1u1, mT(SEu1)], -2)
+        SEyy = ((Yv @ mT(Yv)) * pv).sum(0)
+        SEyu1 = jnp.concatenate(
+            [((Yv @ mT(mu_u)) * pv).sum(0), (Yv * pv).sum(0)], -1
+        )
+        A = A.ss_update(SEu1u1, SEyu1, SEyy, NA, lr)
+
+        # U's mean updates manually; its covariance rides along with W
+        # (reference NLRegression_orig.py:90-101)
+        SEx = (Xv * pv).sum(0)
+        ubar = U.mean()[..., None]
+        SEdux = (((mu_u - ubar) @ mT(Xv)) * pv).sum(0).sum(-3, keepdims=True)
+        SEdudu = (
+            SEuu
+            - SEu @ mT(ubar)
+            - ubar @ mT(SEu)
+            + ubar @ mT(ubar) * NAv
+        ).sum(-3, keepdims=True)
+        mu = (
+            SEu[..., 0]
+            - (W.mean() @ SEx)[..., 0]
+            + U.mu_0 * U.lambda_mu_0[..., None]
+        ) / (U.lambda_mu_0[..., None] + NA[..., None])
+        W = W.ss_update(SExx, SEdux, SEdudu, NA.sum(-1, keepdims=True), lr)
+        U = replace(
+            U,
+            lambda_mu=U.lambda_mu + lr * (NA + U.lambda_mu_0 - U.lambda_mu),
+            mu=U.mu + lr * (mu - U.mu),
+            invU=W.invU,
+        )
+        return (W, A, U, pi), (ELBO, logZ, pr, NA)
+
     def raw_update(self, X, Y, iters=1, lr=1.0, verbose=False):
         for _ in range(self.batch_dim + 1):
             X = X[..., None, :]
@@ -386,101 +499,11 @@ class NLRegression_orig:
         Xv = X[..., None]
         Yv = Y[..., None]
         SExx = (Xv @ mT(Xv)).sum(0)
-
-        for _ in range(int(iters)):
-            AXT = self.A.EXTinvUX()
-            AXU = self.A.EXTinvU()
-            invSigma_u_u = self.W.EinvSigma() + AXT[..., :-1, :-1]
-            invSigmamu_u = (
-                self.U.EinvSigmamu()[..., None]
-                + self.W.EinvUX() @ Xv
-                + AXU[..., :-1, :] @ Yv
-                - AXT[..., :-1, -1:]
-            )
-            Sigma_u_u = psd_inv(invSigma_u_u)
-            mu_u = Sigma_u_u @ invSigmamu_u
-
-            Res = (
-                -0.5 * mT(Yv) @ self.A.EinvSigma() @ Yv
-                - 0.5 * AXT[..., -1:, -1:]
-                + AXU[..., -1:, :] @ Yv
-            )
-            Res = (
-                Res
-                - 0.5 * mT(Xv) @ self.W.EXTinvUX() @ Xv
-                - self.U.mean()[..., None, :] @ self.W.EinvUX() @ Xv
-                + 0.5 * mT(mu_u) @ invSigmamu_u
-            )
-            Res = (
-                Res[..., 0, 0]
-                + 0.5 * self.A.ElogdetinvSigma()
-                + 0.5 * self.W.ElogdetinvSigma()
-                - 0.5 * psd_logdet(invSigma_u_u)
-                - 0.5 * self.U.EXTinvUX()
-                - 0.5 * self.n * jnp.log(2 * jnp.pi)
-            )
-            log_p = Res + self.pi.loggeomean()
-            shift = log_p.max(-1, keepdims=True)
-            self.logZ = (
-                jax.scipy.special.logsumexp(log_p - shift, -1, keepdims=True) + shift
-            )
-            log_p = log_p - self.logZ
-            self.p = jnp.exp(log_p)
-            self.logZ = self.logZ[..., 0].sum(0)
-            self.NA = self.p.sum(0)
-
-            ELBO = self.ELBO()
-            if verbose:
-                print(
-                    "Percent Change in ELBO = ",
-                    (ELBO - self.ELBO_last) / jnp.abs(self.ELBO_last) * 100,
-                )
-            self.ELBO_last = ELBO
-            self.ELBO_save.append(float(jnp.sum(ELBO)))
-
-            self.pi = self.pi.ss_update(self.NA, lr)
-
-            pv = self.p[..., None, None]
-            NAv = self.NA[..., None, None]
-            SEuu = ((Sigma_u_u + mu_u @ mT(mu_u)) * pv).sum(0)
-            SEu = (mu_u * pv).sum(0)
-            SEu1u1 = jnp.concatenate([SEuu, SEu], -1)
-            SEu1 = jnp.concatenate([SEu, NAv], -2)
-            SEu1u1 = jnp.concatenate([SEu1u1, mT(SEu1)], -2)
-            SEyy = ((Yv @ mT(Yv)) * pv).sum(0)
-            SEyu1 = jnp.concatenate(
-                [((Yv @ mT(mu_u)) * pv).sum(0), (Yv * pv).sum(0)], -1
-            )
-            self.A = self.A.ss_update(SEu1u1, SEyu1, SEyy, self.NA, lr)
-
-            # U's mean updates manually; its covariance rides along with W
-            # (reference NLRegression_orig.py:90-101)
-            SEx = (Xv * pv).sum(0)
-            ubar = self.U.mean()[..., None]
-            SEdux = (((mu_u - ubar) @ mT(Xv)) * pv).sum(0).sum(-3, keepdims=True)
-            SEdudu = (
-                SEuu
-                - SEu @ mT(ubar)
-                - ubar @ mT(SEu)
-                + ubar @ mT(ubar) * NAv
-            ).sum(-3, keepdims=True)
-            mu = (
-                SEu[..., 0]
-                - (self.W.mean() @ SEx)[..., 0]
-                + self.U.mu_0 * self.U.lambda_mu_0[..., None]
-            ) / (self.U.lambda_mu_0[..., None] + self.NA[..., None])
-            self.W = self.W.ss_update(
-                SExx, SEdux, SEdudu, self.NA.sum(-1, keepdims=True), lr
-            )
-            from ..utils.jaxutils import replace
-
-            self.U = replace(
-                self.U,
-                lambda_mu=self.U.lambda_mu
-                + lr * (self.NA + self.U.lambda_mu_0 - self.U.lambda_mu),
-                mu=self.U.mu + lr * (mu - self.U.mu),
-            )
-            self._share_invU()
+        (self.W, self.A, self.U, self.pi), (self.logZ, self.p, self.NA), ELBOs = (
+            _fused_fit(self, self._vb_step, (self.W, self.A, self.U, self.pi),
+                       int(iters), Xv, Yv, SExx, lr=lr)
+        )
+        _record_elbos(self, ELBOs, verbose)
 
     def predict(self, X):
         # single mixture-axis unsqueeze (reference NLRegression_orig.py:108

@@ -34,15 +34,16 @@ class ReducedRankRegression:
         self.pu = None
         self.logZ = None
 
-    def _joint_u_posterior(self, X, Y):
-        invSigma, invSigmamu, Residual = self.B.Elog_like_X(X)
-        invSigma_bw, invSigmamu_bw, Residual_bw = self.A.Elog_like_X(Y)
-        invSigma = invSigma_bw + invSigma + self.U.EinvSigma()
-        invSigmamu = invSigmamu_bw + invSigmamu + self.U.EinvSigmamu()[..., None]
+    def _joint_u_posterior(self, X, Y, nodes=None):
+        A, B, U = nodes if nodes is not None else (self.A, self.B, self.U)
+        invSigma, invSigmamu, Residual = B.Elog_like_X(X)
+        invSigma_bw, invSigmamu_bw, Residual_bw = A.Elog_like_X(Y)
+        invSigma = invSigma_bw + invSigma + U.EinvSigma()
+        invSigmamu = invSigmamu_bw + invSigmamu + U.EinvSigmamu()[..., None]
         Residual = (
             Residual
             + Residual_bw
-            + 0.5 * self.U.ElogdetinvSigma()
+            + 0.5 * U.ElogdetinvSigma()
             - 0.5 * self.dim * um.LOG2PI
         )
         Sigma = psd_inv(invSigma)
@@ -56,36 +57,50 @@ class ReducedRankRegression:
         pu = MVN_vf(mu=mu, Sigma=Sigma, invSigma=invSigma, invSigmamu=invSigmamu)
         return pu, Residual
 
+    def _vb_step(self, nodes, X, Y, lr):
+        """One VB sweep as a pure function of (A, B, U) (reference
+        ReducedRankRegression.raw_update:43-81 body)."""
+        A, B, U = nodes
+        pu, Residual = self._joint_u_posterior(X, Y, nodes=nodes)
+        logZ = Residual.sum(0)
+        KL = A.KLqprior() + B.KLqprior() + U.KLqprior()
+        ELBO = jnp.sum(logZ.sum() - KL.sum())
+        A = A.update(pu, Delta(Y), lr=lr)
+        B = B.update(pu, Delta(X), lr=lr)
+        SExx = pu.EXXT()
+        SEx = pu.EX()
+        while SExx.ndim > self.event_dim + self.batch_dim:
+            SExx = SExx.sum(0)
+            SEx = SEx.sum(0)
+        N = jnp.broadcast_to(
+            jnp.asarray(float(np.prod(X.shape[: X.ndim - 2 - self.batch_dim], dtype=np.float64))),
+            self.U.batch_shape,
+        )
+        U = U.ss_update(
+            jnp.diagonal(SExx, axis1=-1, axis2=-2), SEx[..., 0], N, lr=lr
+        )
+        return (A, B, U), (ELBO, logZ, pu)
+
     def raw_update(self, X, Y, iters=1, lr=1.0, verbose=False):
+        from ._fused import fused_fit
+
         X = X[..., None]
         Y = Y[..., None]
-        nsd = X.ndim - self.event_dim - self.batch_dim  # sample dims (incl. trailing)
-        for _ in range(iters):
-            pu, Residual = self._joint_u_posterior(X, Y)
-            self.logZ = Residual.sum(0)
-            self.pu = pu
+        (self.A, self.B, self.U), (self.logZ, pu), ELBOs = fused_fit(
+            self, self._vb_step, (self.A, self.B, self.U), int(iters), X, Y,
+            lr=lr,
+        )
+        self.pu = pu
+        import numpy as np_
+
+        for e in np_.asarray(ELBOs, np_.float64):
             if verbose:
-                ELBO = self.logZ.sum() - self.KLqprior().sum()
                 print(
                     "Percent change in ELBO = ",
-                    (ELBO - self.ELBO_last) / jnp.abs(self.ELBO_last) * 100,
+                    (e - self.ELBO_last) / abs(self.ELBO_last) * 100,
                 )
-                self.ELBO_last = ELBO
-                self.ELBO_save.append(float(ELBO))
-            self.A = self.A.update(pu, Delta(Y), lr=lr)
-            self.B = self.B.update(pu, Delta(X), lr=lr)
-            SExx = pu.EXXT()
-            SEx = pu.EX()
-            while SExx.ndim > self.event_dim + self.batch_dim:
-                SExx = SExx.sum(0)
-                SEx = SEx.sum(0)
-            N = jnp.broadcast_to(
-                jnp.asarray(float(np.prod(X.shape[: X.ndim - 2 - self.batch_dim], dtype=np.float64))),
-                self.U.batch_shape,
-            )
-            self.U = self.U.ss_update(
-                jnp.diagonal(SExx, axis1=-1, axis2=-2), SEx[..., 0], N, lr=lr
-            )
+                self.ELBO_last = float(e)
+                self.ELBO_save.append(float(e))
 
     def Elog_like(self, X, Y):
         X = X[..., None]
