@@ -20,6 +20,22 @@ Kalman plane wins by 2-8x through h=32 (gate PLANE_KALMAN_MAX_H=32 is
 right, and plane — not dense — is the correct h=32 endpoint); HMM plane
 and dense tie at K=32 and dense wins 1.7x at K=64, so PLANE_HMM_MAX_K=32
 puts the crossover exactly at the measured boundary.
+
+Round-5 follow-up (benchmarks/one_arm_lds.py, one arm per process since
+fresh axon compiles can wedge a multi-arm run): FOUR more formulations
+measured at the h=32 cliff (T=200, b=100, warm best-of-3):
+
+    dense + chunked scan   195.6 ms/iter  (fat-row hypothesis REFUTED)
+    dense + level scan     176.5 ms/iter  (round-4 number reconfirmed)
+    sequential lax.scan    247.0 ms/iter  (per-step latency-bound)
+    Pallas fused kernel    infeasible     (Mosaic scoped-VMEM OOM 33.7M>16M)
+    plane + level scan      86.7 ms/iter  (round 4 — still the best)
+
+The binding term at h=32 is per-op small-batched-matmul kernel floors
+inside each Schur combine — not HBM element passes — so serializing
+combines (chunked in-chunk phase, sequential scan) loses and the plane
+layout's time-batched level combines remain the right structure.  The
+fat-row chunked trigger ships default-OFF (PYVBMP_CHUNKED_SCAN_MIN_ROW_BYTES).
 """
 import os
 import sys
@@ -41,6 +57,12 @@ def _best(f, n=3):
 
 def time_lds(h, o, T=200, b=100, iters=20):
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from pyvbmp_tpu.models import LinearDynamicalSystems
     from pyvbmp_tpu.ops import chunked_scan as cs

@@ -47,21 +47,22 @@ import jax.numpy as jnp
 # wins: the long-context regime. 0 disables.
 CHUNKED_SCAN_MIN_T = int(os.environ.get("PYVBMP_CHUNKED_SCAN_MIN_T", "4096"))
 
-# Second, independent trigger: FAT element rows (large-h dense layout).
-# The level scan moves the whole element set through HBM ~2*log2(T) times;
-# the three-phase chunked scan moves it ~3 times.  For thin rows (lane
-# h=2: ~8 KB/row) per-level launch overhead dominates and the level scan
-# wins at moderate T (measurements above) — but once one time-row is
-# hundreds of KB the traffic term dominates and the ~(2 log2 T)/3 ratio is
-# the whole story.  This is the h>32 cliff of VERDICT r4 item 4: at h=32
-# the Pallas single-pass kernel is VMEM-infeasible (3h^2 floats/row at the
-# 128-lane minimum tile blows the budget, ops/pallas_scan._plan -> None),
-# so dense fell back to the level scan at 86.7 ms/iter.  Rows at least
-# this many bytes (at T >= 32, where log2 T >= 5 gives a >=3x traffic
-# ratio) route through the chunked scan instead.  Provisional default
-# pending a chip A/B (benchmarks/layout_ab_large_dims.py); 0 disables.
+# Second, independent trigger: FAT element rows — OPT-IN, measured
+# NEGATIVE at the h=32 target and therefore default-disabled.  The round-5
+# hypothesis was that large-h dense rows are HBM-bound (level scan ~
+# 2*log2(T) element passes vs chunked ~3), but the same-session chip A/B
+# (benchmarks/one_arm_lds.py, h=32 o=32 T=200 b=100, warm best-of-3)
+# refuted it: dense+chunked 195.6 ms/iter vs dense+level 176.5 vs the
+# PLANE layout's 86.7 (still best; a plain sequential lax.scan smoother
+# measured 247.0, and the Pallas kernel is hard-infeasible at h=32 —
+# Mosaic scoped-VMEM OOM, 33.7M > 16M limit).  The binding cost at h=32
+# is per-op small-batched-matmul floors inside each combine, which the
+# chunked scan's serial in-chunk phase makes WORSE, not HBM passes.
+# The machinery stays for regimes where a row-size trigger may yet win
+# (very long T already covered by CHUNKED_SCAN_MIN_T); set
+# PYVBMP_CHUNKED_SCAN_MIN_ROW_BYTES to a byte threshold to enable.
 CHUNKED_SCAN_MIN_ROW_BYTES = int(
-    os.environ.get("PYVBMP_CHUNKED_SCAN_MIN_ROW_BYTES", str(512 * 1024))
+    os.environ.get("PYVBMP_CHUNKED_SCAN_MIN_ROW_BYTES", "0")
 )
 
 
