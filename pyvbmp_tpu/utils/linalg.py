@@ -55,7 +55,8 @@ def psd_solve(A, B):
     if 2 <= A.shape[-1] <= _schur_inv_n_max():
         if PSD_JITTER:
             A = A + PSD_JITTER * jnp.eye(A.shape[-1], dtype=A.dtype)
-        return sym_inv(_sym(A)) @ B
+        with jax.default_matmul_precision("highest"):
+            return sym_inv(_sym(A)) @ B
     L = chol(A)
     return jax.scipy.linalg.cho_solve((L, True), B)
 
@@ -69,7 +70,13 @@ def _schur_inv_n_max():
     inverse+logdet, device-side rep-scan): chol 157/206/308/524 us at
     d=16/32/64/128 vs Schur 123/135/173/241 us — Schur wins everywhere in
     the framework's d range, so ``auto`` (the default) routes full PSD
-    inverses through it on accelerator backends.  CPU (the parity gate)
+    inverses through it on accelerator backends.  Round 5: the recursion's
+    matmuls are pinned to f32-accurate precision (bf16 Schur complements
+    of ~65-dim matrices corrupted the PG classifiers to chance — see
+    sym_inv_and_logdet) and the win was re-measured with the pin in place:
+    chol 2292/697/551/1534 us vs pinned Schur 594/444/350/591 at
+    d=16/32/64/128 (per-call sync protocol, same-session) — still faster
+    at every dim, so the dispatch is unchanged.  CPU (the parity gate)
     always stays on Cholesky.  ``PYVBMP_PSD_INV`` = "chol" forces Cholesky
     everywhere; an integer sets the max dim for the Schur path (0 disables,
     read at trace time)."""
@@ -263,7 +270,14 @@ def _inv3_sym(A):
 
 
 def sym_inv_and_logdet(A):
-    """Inverse + logdet of small SYMMETRIC PD matrices (straight-line)."""
+    """Inverse + logdet of small SYMMETRIC PD matrices (straight-line).
+
+    The n > 3 Schur recursion pins its matmuls to float32-accurate MXU
+    precision: TPU's default feeds bf16 into the MXU, and a bf16 Schur
+    complement of a ~65-dim precision matrix corrupts the inverse enough
+    to collapse the Polya-Gamma classifiers to chance (measured on the
+    digits bake-off: 0.082 at default vs 0.93 pinned/Cholesky — the
+    conditioning risk ADVICE r4 flagged, observed in the wild)."""
     n = A.shape[-1]
     if n == 1:
         return 1.0 / A, jnp.log(A[..., 0, 0])
@@ -271,24 +285,25 @@ def sym_inv_and_logdet(A):
         return _inv2_sym(A)
     if n == 3:
         return _inv3_sym(A)
-    k = n // 2
-    A11 = A[..., :k, :k]
-    A12 = A[..., :k, k:]
-    A22 = A[..., k:, k:]
-    inv11, ld11 = sym_inv_and_logdet(A11)
-    inv11_A12 = inv11 @ A12
-    S = A22 - mT(A12) @ inv11_A12
-    S = 0.5 * (S + mT(S))
-    invS, ldS = sym_inv_and_logdet(S)
-    top_right = -inv11_A12 @ invS
-    top_left = inv11 - top_right @ mT(inv11_A12)
-    inv = jnp.concatenate(
-        [
-            jnp.concatenate([top_left, top_right], -1),
-            jnp.concatenate([mT(top_right), invS], -1),
-        ],
-        -2,
-    )
+    with jax.default_matmul_precision("highest"):
+        k = n // 2
+        A11 = A[..., :k, :k]
+        A12 = A[..., :k, k:]
+        A22 = A[..., k:, k:]
+        inv11, ld11 = sym_inv_and_logdet(A11)
+        inv11_A12 = inv11 @ A12
+        S = A22 - mT(A12) @ inv11_A12
+        S = 0.5 * (S + mT(S))
+        invS, ldS = sym_inv_and_logdet(S)
+        top_right = -inv11_A12 @ invS
+        top_left = inv11 - top_right @ mT(inv11_A12)
+        inv = jnp.concatenate(
+            [
+                jnp.concatenate([top_left, top_right], -1),
+                jnp.concatenate([mT(top_right), invS], -1),
+            ],
+            -2,
+        )
     return inv, ld11 + ldS
 
 
@@ -329,7 +344,8 @@ def sym_logdet(A):
     A12 = A[..., :k, k:]
     A22 = A[..., k:, k:]
     inv11, ld11 = sym_inv_and_logdet(A11)
-    S = A22 - mT(A12) @ (inv11 @ A12)
+    with jax.default_matmul_precision("highest"):
+        S = A22 - mT(A12) @ (inv11 @ A12)
     return ld11 + sym_logdet(0.5 * (S + mT(S)))
 
 
@@ -338,12 +354,14 @@ def sym_inv(A):
 
 
 def sym_solve(A, B):
-    return sym_inv(A) @ B
+    with jax.default_matmul_precision("highest"):
+        return sym_inv(A) @ B
 
 
 def sym_solve_and_logdet(A, B):
     inv, ld = sym_inv_and_logdet(A)
-    return inv @ B, ld
+    with jax.default_matmul_precision("highest"):
+        return inv @ B, ld
 
 
 # --- block 2x2 matrix algebra (reference utils/matrix_utils.py) -------------
