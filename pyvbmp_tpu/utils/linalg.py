@@ -55,7 +55,7 @@ def psd_solve(A, B):
     if 2 <= A.shape[-1] <= _schur_inv_n_max():
         if PSD_JITTER:
             A = A + PSD_JITTER * jnp.eye(A.shape[-1], dtype=A.dtype)
-        with jax.default_matmul_precision("highest"):
+        with _apply_pin(A.shape[-1]):
             return sym_inv(_sym(A)) @ B
     L = chol(A)
     return jax.scipy.linalg.cho_solve((L, True), B)
@@ -129,7 +129,8 @@ def psd_solve_and_logdet(A, B):
         if PSD_JITTER:
             A = A + PSD_JITTER * jnp.eye(A.shape[-1], dtype=A.dtype)
         inv, logdet = sym_inv_and_logdet(_sym(A))
-        return inv @ B, logdet
+        with _apply_pin(A.shape[-1]):
+            return inv @ B, logdet
     L = chol(A)
     X = jax.scipy.linalg.cho_solve((L, True), B)
     logdet = 2.0 * jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)).sum(-1)
@@ -231,6 +232,53 @@ def small_solve_and_logdet(A, B):
     return inv @ B, ld
 
 
+
+
+def _sym_pin(bit):
+    """f32-accurate matmul context for the Schur recursion levels
+    (PYVBMP_SYM_PIN bitmask; default 3 = both recursions pinned).
+
+    bf16 error COMPOUNDS across Schur levels: at ~65 dims it corrupted
+    the inverses badly enough to collapse the PG classifiers to chance
+    on TPU (digits 0.082 vs 0.93).  The recursion only exists for n > 3
+    blocks, so this pin costs nothing on the per-time tiny-matrix hot
+    paths; measured on chip it leaves MixLDS at 429.6 it/s (pre-pin 537
+    is within the tunnel-jitter band)."""
+    import contextlib
+    import os
+
+    mask = int(os.environ.get("PYVBMP_SYM_PIN", "3"))
+    if mask & bit:
+        return jax.default_matmul_precision("highest")
+    return contextlib.nullcontext()
+
+
+APPLY_PIN_MIN_DIM_DEFAULT = 16
+
+
+def _apply_pin(n):
+    """Dimension-gated f32-accurate context for solve-APPLY matmuls
+    (inv @ B): one product adds one rounding per k-term dot, so bf16 is
+    harmless at tiny k but at k~65 (the MVN_ard / MNLR weight solves) the
+    accumulation is enough to break the PG fixed point — verified on chip
+    both ways.  Gating by the contraction dim keeps the (T*B)-batched
+    2x2 message applies (the lazy mu = solve(invSigma, invSigmamu) on
+    EVERY per-time message) at default precision: pinning those turned a
+    fusible elementwise op into per-element padded MXU calls and cost
+    MixLDS 9x (48.9 vs 429.6 it/s measured).  Threshold knob:
+    PYVBMP_APPLY_PIN_MIN_DIM (default 16; production smoother dims h<=14
+    were validated at default precision to ~0.3% ELBO, the transform-level
+    d>=16 solves are seconds-scale work where accuracy wins)."""
+    import contextlib
+    import os
+
+    thresh = int(
+        os.environ.get("PYVBMP_APPLY_PIN_MIN_DIM", str(APPLY_PIN_MIN_DIM_DEFAULT))
+    )
+    if thresh > 0 and n >= thresh:
+        return jax.default_matmul_precision("highest")
+    return contextlib.nullcontext()
+
 # --- symmetric-specialized straight-line inverses ---------------------------
 # The associative-scan smoothers invert symmetric PD matrices in every combine
 # stage; exploiting A = A^T drops the lower-triangle cofactors and one
@@ -285,7 +333,7 @@ def sym_inv_and_logdet(A):
         return _inv2_sym(A)
     if n == 3:
         return _inv3_sym(A)
-    with jax.default_matmul_precision("highest"):
+    with _sym_pin(1):
         k = n // 2
         A11 = A[..., :k, :k]
         A12 = A[..., :k, k:]
@@ -344,7 +392,7 @@ def sym_logdet(A):
     A12 = A[..., :k, k:]
     A22 = A[..., k:, k:]
     inv11, ld11 = sym_inv_and_logdet(A11)
-    with jax.default_matmul_precision("highest"):
+    with _sym_pin(2):
         S = A22 - mT(A12) @ (inv11 @ A12)
     return ld11 + sym_logdet(0.5 * (S + mT(S)))
 
@@ -354,13 +402,13 @@ def sym_inv(A):
 
 
 def sym_solve(A, B):
-    with jax.default_matmul_precision("highest"):
+    with _apply_pin(A.shape[-1]):
         return sym_inv(A) @ B
 
 
 def sym_solve_and_logdet(A, B):
     inv, ld = sym_inv_and_logdet(A)
-    with jax.default_matmul_precision("highest"):
+    with _apply_pin(A.shape[-1]):
         return inv @ B, ld
 
 
